@@ -1,0 +1,134 @@
+"""FCN-8s decoder and full model.
+
+Re-specifies the reference decoder (`/root/reference/fcn8s_tensorflow.py:154-237`)
+TPU-natively:
+
+* pool3 scaled by 1e-4, pool4 by 1e-2 (the paper's "at-once" trick);
+* three 1x1 score convs to ``num_classes`` channels, truncated-normal
+  sigma=0.001 init, L2-regularized kernels;
+* upsampling chain: 4x4/s2 deconv on the fc7 score + pool4-score add,
+  4x4/s2 deconv + pool3-score add, final 16x16/s8 deconv to full resolution;
+  deconv kernels truncated-normal sigma=0.01 (or bilinear init).
+
+All deconvs use TF-SAME shape semantics (out = in * stride), so for inputs
+with H, W divisible by 32 the logits come back at exactly the input
+resolution. Logits are returned in float32 — the loss and argmax heads want
+full precision, and XLA fuses the final cast into the last deconv.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nn import conv2d, conv2d_transpose
+from .initializers import bilinear_upsampling_kernel, truncated_normal
+from .vgg16 import apply_vgg16, init_vgg16
+
+POOL3_SCALE = 1e-4
+POOL4_SCALE = 1e-2
+STDDEV_1X1 = 0.001
+STDDEV_DECONV = 0.01
+
+# (name, kind, kernel_shape) — kind 'conv' is a 1x1 score conv, 'deconv_s{n}'
+# a transposed conv with stride n. Channel dim C filled in at init time.
+_DECODER_SPEC = [
+    ("pool3_1x1", "conv", (1, 1, 256, None)),
+    ("pool4_1x1", "conv", (1, 1, 512, None)),
+    ("fc7_1x1", "conv", (1, 1, 4096, None)),
+    ("fc7_deconv", "deconv", (4, 4, None, None)),
+    ("fc7_pool4_deconv", "deconv", (4, 4, None, None)),
+    ("fc7_pool4_pool3_deconv", "deconv", (16, 16, None, None)),
+]
+
+
+def init_fcn8s_decoder(rng, num_classes: int, *, bilinear_deconv_init: bool = False) -> dict:
+    """Decoder parameters. ``bilinear_deconv_init=True`` swaps the deconv
+    random init for the FCN paper's fixed bilinear-interpolation kernels."""
+    params = {}
+    keys = jax.random.split(rng, len(_DECODER_SPEC))
+    for key, (name, kind, shape) in zip(keys, _DECODER_SPEC):
+        shape = tuple(num_classes if s is None else s for s in shape)
+        if kind == "conv":
+            kernel = truncated_normal(key, shape, STDDEV_1X1)
+        elif bilinear_deconv_init:
+            kernel = jnp.asarray(bilinear_upsampling_kernel(shape[0], num_classes))
+        else:
+            kernel = truncated_normal(key, shape, STDDEV_DECONV)
+        params[name] = {"kernel": kernel, "bias": jnp.zeros((num_classes,), jnp.float32)}
+    return params
+
+
+def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jnp.bfloat16):
+    """Decode (pool3, pool4, fc7) feature taps to full-resolution logits."""
+    p = params
+
+    def score(name, x, scale=None):
+        if scale is not None:
+            x = x * jnp.asarray(scale, x.dtype)
+        return conv2d(x, p[name]["kernel"], p[name]["bias"])
+
+    pool3_score = score("pool3_1x1", pool3.astype(compute_dtype), POOL3_SCALE)
+    pool4_score = score("pool4_1x1", pool4.astype(compute_dtype), POOL4_SCALE)
+    fc7_score = score("fc7_1x1", fc7_out.astype(compute_dtype))
+
+    x = conv2d_transpose(fc7_score, p["fc7_deconv"]["kernel"], p["fc7_deconv"]["bias"], strides=(2, 2))
+    x = x + pool4_score
+    x = conv2d_transpose(x, p["fc7_pool4_deconv"]["kernel"], p["fc7_pool4_deconv"]["bias"], strides=(2, 2))
+    x = x + pool3_score
+    x = conv2d_transpose(
+        x,
+        p["fc7_pool4_pool3_deconv"]["kernel"],
+        p["fc7_pool4_pool3_deconv"]["bias"],
+        strides=(8, 8),
+    )
+    return x.astype(jnp.float32)
+
+
+def init_fcn8s(rng, num_classes: int, *, bilinear_deconv_init: bool = False) -> dict:
+    """Full model params: {'encoder': vgg16 tree, 'decoder': decoder tree}."""
+    enc_rng, dec_rng = jax.random.split(rng)
+    return {
+        "encoder": init_vgg16(enc_rng),
+        "decoder": init_fcn8s_decoder(dec_rng, num_classes, bilinear_deconv_init=bilinear_deconv_init),
+    }
+
+
+def apply_fcn8s(
+    params: dict,
+    images,
+    *,
+    keep_prob=1.0,
+    rng=None,
+    deterministic: bool = True,
+    compute_dtype=jnp.bfloat16,
+    normalize: bool = True,
+):
+    """End-to-end forward: NHWC images -> (N, H, W, num_classes) fp32 logits.
+
+    The fully-convolutional property of the reference (`predict()` docstring,
+    `fcn8s_tensorflow.py:748-756`) is preserved: any H, W divisible by 32
+    works with a single compiled program per shape bucket.
+    """
+    pool3, pool4, fc7_out = apply_vgg16(
+        params["encoder"],
+        images,
+        keep_prob=keep_prob,
+        rng=rng,
+        deterministic=deterministic,
+        compute_dtype=compute_dtype,
+        normalize=normalize,
+    )
+    return apply_fcn8s_decoder(params["decoder"], pool3, pool4, fc7_out, compute_dtype=compute_dtype)
+
+
+def decoder_l2_loss(decoder_params: dict) -> jnp.ndarray:
+    """Sum of TF-style L2 terms over the six decoder kernels (biases exempt):
+    ``sum(w**2) / 2`` per kernel, matching ``tf.contrib.layers.l2_regularizer``
+    semantics used at reference `fcn8s_tensorflow.py:162,250-251` (the rate is
+    multiplied in by the caller)."""
+    total = jnp.zeros((), jnp.float32)
+    for name, _, _ in _DECODER_SPEC:
+        w = decoder_params[name]["kernel"].astype(jnp.float32)
+        total = total + 0.5 * jnp.sum(w * w)
+    return total

@@ -1,0 +1,104 @@
+"""Loss/metric parity vs hand-computed small tensors (SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fcn8s_tensorflow_tpu.ops.losses import (
+    mean_softmax_cross_entropy,
+    softmax_cross_entropy_one_hot,
+    softmax_cross_entropy_with_ids,
+)
+from fcn8s_tensorflow_tpu.ops.metrics import (
+    confusion_matrix,
+    empty_metrics_state,
+    finalize_metrics,
+    mean_iou_from_confusion,
+    update_metrics_state,
+)
+
+
+def _np_softmax_ce(logits, ids):
+    logits = logits - logits.max(axis=-1, keepdims=True)
+    log_probs = logits - np.log(np.exp(logits).sum(axis=-1, keepdims=True))
+    return -np.take_along_axis(log_probs, ids[..., None], axis=-1)[..., 0]
+
+
+def test_ce_matches_numpy(rng):
+    logits = rng.normal(size=(2, 4, 4, 5)).astype(np.float32)
+    ids = rng.integers(0, 5, size=(2, 4, 4))
+    got = np.asarray(softmax_cross_entropy_with_ids(jnp.asarray(logits), jnp.asarray(ids)))
+    want = _np_softmax_ce(logits, ids)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        float(mean_softmax_cross_entropy(jnp.asarray(logits), jnp.asarray(ids))),
+        want.mean(),
+        rtol=1e-5,
+    )
+
+
+def test_ce_one_hot_equals_ids(rng):
+    logits = rng.normal(size=(3, 8, 5)).astype(np.float32)
+    ids = rng.integers(0, 5, size=(3, 8))
+    one_hot = np.eye(5, dtype=np.float32)[ids]
+    a = np.asarray(softmax_cross_entropy_with_ids(jnp.asarray(logits), jnp.asarray(ids)))
+    b = np.asarray(softmax_cross_entropy_one_hot(jnp.asarray(logits), jnp.asarray(one_hot)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_confusion_matrix_matches_numpy(rng):
+    C = 7
+    pred = rng.integers(0, C, size=(3, 16, 16))
+    gt = rng.integers(0, C, size=(3, 16, 16))
+    got = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(gt), C))
+    want = np.zeros((C, C))
+    for g, p in zip(gt.ravel(), pred.ravel()):
+        want[g, p] += 1
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mean_iou_tf_semantics():
+    # Hand-computed: classes 0 and 1 present, class 2 absent entirely.
+    conf = jnp.asarray([[3.0, 1.0, 0.0], [1.0, 2.0, 0.0], [0.0, 0.0, 0.0]])
+    # IoU0 = 3/(4+4-3)=0.6, IoU1=2/(3+3-2)=0.5; class 2 excluded from mean.
+    np.testing.assert_allclose(float(mean_iou_from_confusion(conf)), (0.6 + 0.5) / 2, rtol=1e-6)
+
+
+def test_streaming_accumulation(rng):
+    C = 4
+    state = empty_metrics_state(C)
+    total_correct = 0
+    total_px = 0
+    losses = []
+    for _ in range(3):
+        pred = rng.integers(0, C, size=(2, 8, 8))
+        gt = rng.integers(0, C, size=(2, 8, 8))
+        loss = float(rng.normal()) ** 2
+        state = update_metrics_state(
+            state,
+            loss=jnp.asarray(loss),
+            pred_ids=jnp.asarray(pred),
+            gt_ids=jnp.asarray(gt),
+            num_classes=C,
+        )
+        total_correct += (pred == gt).sum()
+        total_px += pred.size
+        losses.append(loss)
+    out = finalize_metrics(state)
+    np.testing.assert_allclose(float(out["loss"]), np.mean(losses), rtol=1e-5)
+    np.testing.assert_allclose(float(out["accuracy"]), total_correct / total_px, rtol=1e-6)
+    assert float(state["total"]) == total_px
+
+
+def test_perfect_prediction_metrics(rng):
+    C = 5
+    gt = rng.integers(0, C, size=(1, 16, 16))
+    state = update_metrics_state(
+        empty_metrics_state(C),
+        loss=jnp.asarray(0.0),
+        pred_ids=jnp.asarray(gt),
+        gt_ids=jnp.asarray(gt),
+        num_classes=C,
+    )
+    out = finalize_metrics(state)
+    assert float(out["accuracy"]) == 1.0
+    assert float(out["mean_iou"]) == 1.0

@@ -1,0 +1,122 @@
+"""Decoder/encoder shape algebra and numerics (SURVEY.md §4).
+
+Runs on a tiny proxy encoder config via the real layers — full VGG-16 at
+CPU-test scale is exercised at reduced resolution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fcn8s_tensorflow_tpu.models.fcn8s import (
+    apply_fcn8s,
+    apply_fcn8s_decoder,
+    decoder_l2_loss,
+    init_fcn8s,
+    init_fcn8s_decoder,
+)
+from fcn8s_tensorflow_tpu.models.initializers import bilinear_upsampling_kernel
+from fcn8s_tensorflow_tpu.models.vgg16 import apply_vgg16, init_vgg16
+from fcn8s_tensorflow_tpu.ops.nn import conv2d, conv2d_transpose, max_pool_2x2
+
+NUM_CLASSES = 5
+
+
+def test_encoder_tap_strides():
+    params = init_vgg16(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    pool3, pool4, fc7 = apply_vgg16(params, x, compute_dtype=jnp.float32)
+    assert pool3.shape == (1, 8, 12, 256)   # stride 8
+    assert pool4.shape == (1, 4, 6, 512)    # stride 16
+    assert fc7.shape == (1, 2, 3, 4096)     # stride 32
+
+
+def test_full_model_output_resolution():
+    params = init_fcn8s(jax.random.PRNGKey(0), NUM_CLASSES)
+    x = jnp.zeros((2, 64, 96, 3), jnp.float32)
+    logits = apply_fcn8s(params, x, compute_dtype=jnp.float32)
+    assert logits.shape == (2, 64, 96, NUM_CLASSES)
+    assert logits.dtype == jnp.float32
+
+
+def test_decoder_shape_algebra():
+    # Feed synthetic taps at strides 8/16/32 of a 32x64 "image".
+    dec = init_fcn8s_decoder(jax.random.PRNGKey(1), NUM_CLASSES)
+    pool3 = jnp.zeros((1, 4, 8, 256))
+    pool4 = jnp.zeros((1, 2, 4, 512))
+    fc7 = jnp.zeros((1, 1, 2, 4096))
+    logits = apply_fcn8s_decoder(dec, pool3, pool4, fc7, compute_dtype=jnp.float32)
+    assert logits.shape == (1, 32, 64, NUM_CLASSES)
+
+
+@pytest.mark.parametrize("k,s", [(4, 2), (16, 8), (2, 2), (8, 8)])
+def test_conv_transpose_same_shape(k, s):
+    x = jnp.ones((1, 3, 5, 2))
+    kernel = jnp.ones((k, k, 2, 4)) * 0.1
+    y = conv2d_transpose(x, kernel, strides=(s, s))
+    assert y.shape == (1, 3 * s, 5 * s, 4)
+
+
+def test_conv_transpose_matches_gradient_definition():
+    """A transposed conv must be the adjoint of the forward strided conv:
+    <conv(x), y> == <x, conv_transpose(y)> with the same kernel."""
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (1, 8, 8, 3))
+    kernel = jax.random.normal(k2, (4, 4, 3, 6)) * 0.2
+
+    def fwd(x):
+        return jax.lax.conv_general_dilated(
+            x, kernel, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    y = jax.random.normal(k3, fwd(x).shape)
+    lhs = jnp.vdot(fwd(x), y)
+    # adjoint applied to y: conv_transpose with kernel transposed I<->O
+    xt = conv2d_transpose(y, jnp.swapaxes(kernel, 2, 3)[::-1, ::-1], strides=(2, 2))
+    rhs = jnp.vdot(x, xt)
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-3)  # fp32 summation-order noise
+
+
+def test_bilinear_kernel_interpolates_constant():
+    """Deconv with the bilinear kernel on a constant map is constant in the
+    interior (edges taper due to zero padding)."""
+    c = 3
+    kernel = jnp.asarray(bilinear_upsampling_kernel(4, c))
+    x = jnp.ones((1, 6, 6, c))
+    y = conv2d_transpose(x, kernel, strides=(2, 2))
+    assert y.shape == (1, 12, 12, c)
+    interior = y[0, 3:-3, 3:-3]
+    np.testing.assert_allclose(np.asarray(interior), 1.0, rtol=1e-5)
+
+
+def test_max_pool_same_odd_dims():
+    x = jnp.arange(5 * 7, dtype=jnp.float32).reshape(1, 5, 7, 1)
+    y = max_pool_2x2(x)
+    assert y.shape == (1, 3, 4, 1)  # ceil(5/2), ceil(7/2)
+
+
+def test_conv2d_same_preserves_shape():
+    x = jnp.ones((1, 9, 11, 4))
+    kernel = jnp.ones((3, 3, 4, 8)) * 0.01
+    assert conv2d(x, kernel).shape == (1, 9, 11, 8)
+
+
+def test_decoder_l2_loss_positive_and_tf_semantics():
+    dec = init_fcn8s_decoder(jax.random.PRNGKey(2), NUM_CLASSES)
+    loss = decoder_l2_loss(dec)
+    manual = sum(0.5 * float(np.sum(np.asarray(v["kernel"]) ** 2)) for v in dec.values())
+    np.testing.assert_allclose(float(loss), manual, rtol=1e-5)
+
+
+def test_dropout_determinism_and_scaling():
+    from fcn8s_tensorflow_tpu.ops.nn import dropout
+
+    x = jnp.ones((1000,), jnp.float32)
+    out = dropout(x, jax.random.PRNGKey(0), 0.5, deterministic=False)
+    kept = np.asarray(out) > 0
+    # kept units are scaled by 1/keep_prob
+    np.testing.assert_allclose(np.asarray(out)[kept], 2.0, rtol=1e-5)
+    assert 0.35 < kept.mean() < 0.65
+    assert np.array_equal(np.asarray(dropout(x, None, 0.5, deterministic=True)), np.asarray(x))
