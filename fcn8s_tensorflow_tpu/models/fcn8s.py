@@ -42,13 +42,26 @@ _DECODER_SPEC = [
 ]
 
 
-def init_fcn8s_decoder(rng, num_classes: int, *, bilinear_deconv_init: bool = False) -> dict:
+def init_fcn8s_decoder(
+    rng,
+    num_classes: int,
+    *,
+    bilinear_deconv_init: bool = False,
+    pool3_ch: int = 256,
+    pool4_ch: int = 512,
+    fc7_ch: int = 4096,
+) -> dict:
     """Decoder parameters. ``bilinear_deconv_init=True`` swaps the deconv
-    random init for the FCN paper's fixed bilinear-interpolation kernels."""
+    random init for the FCN paper's fixed bilinear-interpolation kernels.
+    The ``*_ch`` kwargs follow the encoder's tap widths (non-default only
+    for width-scaled test/debug encoders)."""
+    tap_ch = {"pool3_1x1": pool3_ch, "pool4_1x1": pool4_ch, "fc7_1x1": fc7_ch}
     params = {}
     keys = jax.random.split(rng, len(_DECODER_SPEC))
     for key, (name, kind, shape) in zip(keys, _DECODER_SPEC):
         shape = tuple(num_classes if s is None else s for s in shape)
+        if name in tap_ch:
+            shape = (shape[0], shape[1], tap_ch[name], shape[3])
         if kind == "conv":
             kernel = truncated_normal(key, shape, STDDEV_1X1)
         elif bilinear_deconv_init:
@@ -85,13 +98,29 @@ def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jn
     return x.astype(jnp.float32)
 
 
-def init_fcn8s(rng, num_classes: int, *, bilinear_deconv_init: bool = False) -> dict:
-    """Full model params: {'encoder': vgg16 tree, 'decoder': decoder tree}."""
+def init_fcn8s(
+    rng,
+    num_classes: int,
+    *,
+    bilinear_deconv_init: bool = False,
+    width_mult: float = 1.0,
+    fc_channels: int | None = None,
+) -> dict:
+    """Full model params: {'encoder': vgg16 tree, 'decoder': decoder tree}.
+
+    ``width_mult`` / ``fc_channels`` build width-scaled debug/test variants
+    with the identical graph structure (see ``init_vgg16``)."""
     enc_rng, dec_rng = jax.random.split(rng)
-    return {
-        "encoder": init_vgg16(enc_rng),
-        "decoder": init_fcn8s_decoder(dec_rng, num_classes, bilinear_deconv_init=bilinear_deconv_init),
-    }
+    encoder = init_vgg16(enc_rng, width_mult=width_mult, fc_channels=fc_channels)
+    decoder = init_fcn8s_decoder(
+        dec_rng,
+        num_classes,
+        bilinear_deconv_init=bilinear_deconv_init,
+        pool3_ch=encoder["conv3_3"]["kernel"].shape[-1],
+        pool4_ch=encoder["conv4_3"]["kernel"].shape[-1],
+        fc7_ch=encoder["fc7"]["kernel"].shape[-1],
+    )
+    return {"encoder": encoder, "decoder": decoder}
 
 
 def apply_fcn8s(

@@ -48,22 +48,34 @@ FC7_KERNEL = (1, 1, 4096, 4096)
 VGG_MEAN_RGB = (123.68, 116.779, 103.939)
 
 
-def init_vgg16(rng) -> dict:
-    """Fresh (untrained) encoder parameters, He-normal kernels, zero biases."""
+def init_vgg16(rng, *, width_mult: float = 1.0, fc_channels: int | None = None) -> dict:
+    """Fresh (untrained) encoder parameters, He-normal kernels, zero biases.
+
+    ``width_mult`` scales every conv width and ``fc_channels`` overrides the
+    4096-wide fc6/fc7 — the graph structure (16 layers, 5 pools, 3 taps) is
+    identical at any width, so tiny configs exercise the full architecture in
+    CPU tests while production uses the canonical widths.
+    """
+
+    def scale(ch: int) -> int:
+        return max(8, int(ch * width_mult)) if width_mult != 1.0 else ch
+
+    fc_ch = fc_channels if fc_channels is not None else scale(FC6_KERNEL[-1])
     params = {}
     keys = jax.random.split(rng, len(VGG16_CONV_LAYERS) + 2)
     for key, (name, in_ch, out_ch) in zip(keys, VGG16_CONV_LAYERS):
+        in_ch = 3 if in_ch == 3 else scale(in_ch)
         params[name] = {
-            "kernel": he_normal(key, (3, 3, in_ch, out_ch)),
-            "bias": jnp.zeros((out_ch,), jnp.float32),
+            "kernel": he_normal(key, (3, 3, in_ch, scale(out_ch))),
+            "bias": jnp.zeros((scale(out_ch),), jnp.float32),
         }
     params["fc6"] = {
-        "kernel": he_normal(keys[-2], FC6_KERNEL),
-        "bias": jnp.zeros((FC6_KERNEL[-1],), jnp.float32),
+        "kernel": he_normal(keys[-2], (7, 7, scale(FC6_KERNEL[2]), fc_ch)),
+        "bias": jnp.zeros((fc_ch,), jnp.float32),
     }
     params["fc7"] = {
-        "kernel": he_normal(keys[-1], FC7_KERNEL),
-        "bias": jnp.zeros((FC7_KERNEL[-1],), jnp.float32),
+        "kernel": he_normal(keys[-1], (1, 1, fc_ch, fc_ch)),
+        "bias": jnp.zeros((fc_ch,), jnp.float32),
     }
     return params
 

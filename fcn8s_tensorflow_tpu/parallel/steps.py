@@ -1,0 +1,219 @@
+"""pjit-compiled train / eval / predict steps.
+
+The functional core of the framework: pure step functions over an explicit
+``TrainState``, compiled once per (shape, mesh) with ``jax.jit`` +
+``NamedSharding`` annotations. This replaces the reference's per-step
+``sess.run(fetches, feed_dict)`` (`/root/reference/fcn8s_tensorflow.py:553-572`)
+— where the reference re-feeds learning rate / keep_prob / L2 rate as
+placeholders every step, we pass them as *traced scalars*, so the step
+callable LR schedule semantics (`:527,583` — re-evaluated every step)
+survive without a single recompile.
+
+Gradient reduction across the 'data' axis and the fc7 all-reduce of the
+tensor-parallel encoder are both inserted by XLA GSPMD from the sharding
+annotations; there is no hand-written collective here (SURVEY.md §2:
+the reference has no communication backend at all — this is its TPU-native
+replacement).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.fcn8s import apply_fcn8s, decoder_l2_loss
+from ..ops.losses import mean_softmax_cross_entropy
+from ..ops.metrics import empty_metrics_state, update_metrics_state
+
+
+class TrainState(NamedTuple):
+    """Carried training state. ``step`` is the reference's ``global_step``
+    variable (`fcn8s_tensorflow.py:246`) — checkpointed so LR schedules
+    resume correctly (`:526`)."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    """Adam with TF1 defaults (beta1=0.9, beta2=0.999, eps=1e-8 — what
+    ``tf.train.AdamOptimizer`` uses at reference `:256`), with the learning
+    rate injected per-step as a traced hyperparameter."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+
+
+def create_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+
+
+def _set_lr(opt_state, lr):
+    """Functionally set the injected learning-rate hyperparameter."""
+    hyper = dict(opt_state.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hyper)
+
+
+def train_step(
+    state: TrainState,
+    images,
+    label_ids,
+    rng,
+    learning_rate,
+    l2_rate,
+    keep_prob,
+    *,
+    optimizer: optax.GradientTransformation,
+    num_classes: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """One optimization step. ``images`` NHWC uint8, ``label_ids`` NHW uint8.
+
+    Returns (new_state, total_loss). Loss = mean softmax CE over all pixels
+    + l2_rate * sum(l2(decoder kernels)) (reference `:250-253`).
+    """
+    # Per-step dropout rng: fold the global step in so one key drives the run.
+    step_rng = jax.random.fold_in(rng, state.step)
+
+    def loss_fn(params):
+        logits = apply_fcn8s(
+            params,
+            images,
+            keep_prob=keep_prob,
+            rng=step_rng,
+            deterministic=False,
+            compute_dtype=compute_dtype,
+        )
+        ce = mean_softmax_cross_entropy(logits, label_ids)
+        reg = jnp.asarray(l2_rate, jnp.float32) * decoder_l2_loss(params["decoder"])
+        return ce + reg
+
+    total_loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    opt_state = _set_lr(state.opt_state, learning_rate)
+    updates, opt_state = optimizer.update(grads, opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(step=state.step + 1, params=params, opt_state=opt_state), total_loss
+
+
+def eval_step(params, metrics_state, images, label_ids, *, num_classes: int, compute_dtype=jnp.bfloat16):
+    """Forward-only metric accumulation with keep_prob=1 (reference
+    `_evaluate`, `fcn8s_tensorflow.py:685-689`). The confusion-matrix /
+    accuracy accumulators live on device; across the 'data' axis XLA reduces
+    them because the out-sharding is replicated."""
+    logits = apply_fcn8s(params, images, deterministic=True, compute_dtype=compute_dtype)
+    loss = mean_softmax_cross_entropy(logits, label_ids)
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return update_metrics_state(
+        metrics_state, loss=loss, pred_ids=pred, gt_ids=label_ids.astype(jnp.int32),
+        num_classes=num_classes,
+    )
+
+
+def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloat16):
+    """Inference head: argmax ids (int32) or full softmax (reference
+    `_build_predictor`, `fcn8s_tensorflow.py:261-271`)."""
+    logits = apply_fcn8s(params, images, deterministic=True, compute_dtype=compute_dtype)
+    if argmax:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = True,
+                       compute_dtype=jnp.bfloat16, example_state=None, donate: bool = True):
+    """jit the train step with mesh shardings: batch over 'data', params per
+    the TP rules, carried state donated (in-place update, halves HBM)."""
+    from .mesh import batch_sharding, param_sharding_tree, replicated
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+
+    if example_state is not None:
+        p_shard = param_sharding_tree(mesh, example_state.params, tensor_parallel=tensor_parallel)
+        state_shardings = TrainState(
+            step=rep,
+            params=p_shard,
+            opt_state=jax.tree.map(
+                lambda _: rep, example_state.opt_state,
+            ),
+        )
+        # Adam moments must follow the params' sharding.
+        state_shardings = _match_opt_state_to_params(example_state, state_shardings, p_shard, rep)
+    else:
+        state_shardings = None
+
+    fn = partial(train_step, optimizer=optimizer, num_classes=num_classes, compute_dtype=compute_dtype)
+    return jax.jit(
+        fn,
+        in_shardings=(state_shardings, data, data, rep, rep, rep, rep),
+        out_shardings=(state_shardings, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def _match_opt_state_to_params(state, state_shardings, p_shard, rep):
+    """Give Adam's mu/nu the same sharding as their params; scalars replicate."""
+
+    def map_opt(opt_state):
+        # optax.inject_hyperparams wraps an InjectHyperparamsState whose
+        # inner_state contains ScaleByAdamState(mu=ptree, nu=ptree, count).
+        def rec(node):
+            if isinstance(node, dict) and set(node.keys()) == {"encoder", "decoder"}:
+                return p_shard
+            if hasattr(node, "_fields"):  # NamedTuple-like optax states
+                return type(node)(*(rec(getattr(node, f)) for f in node._fields))
+            if isinstance(node, dict):
+                return {k: rec(v) for k, v in node.items()}
+            if isinstance(node, (list, tuple)):
+                return type(node)(rec(v) for v in node)
+            return rep
+
+        return rec(opt_state)
+
+    return TrainState(step=rep, params=p_shard, opt_state=map_opt(state.opt_state))
+
+
+def compile_eval_step(mesh, num_classes, *, tensor_parallel: bool = True, compute_dtype=jnp.bfloat16,
+                      example_params=None):
+    from .mesh import batch_sharding, param_sharding_tree, replicated
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    p_shard = (
+        param_sharding_tree(mesh, example_params, tensor_parallel=tensor_parallel)
+        if example_params is not None
+        else None
+    )
+    metrics_shard = rep if example_params is not None else None
+    fn = partial(eval_step, num_classes=num_classes, compute_dtype=compute_dtype)
+    return jax.jit(
+        fn,
+        in_shardings=(p_shard, metrics_shard, data, data) if p_shard is not None else None,
+        out_shardings=metrics_shard,
+        donate_argnums=(1,),
+    )
+
+
+def compile_predict_step(mesh, *, argmax: bool = True, tensor_parallel: bool = True,
+                         compute_dtype=jnp.bfloat16, example_params=None):
+    from .mesh import batch_sharding, param_sharding_tree
+
+    data = batch_sharding(mesh)
+    p_shard = (
+        param_sharding_tree(mesh, example_params, tensor_parallel=tensor_parallel)
+        if example_params is not None
+        else None
+    )
+    fn = partial(predict_step, argmax=argmax, compute_dtype=compute_dtype)
+    return jax.jit(
+        fn,
+        in_shardings=(p_shard, data) if p_shard is not None else None,
+        out_shardings=data,
+    )

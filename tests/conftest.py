@@ -3,10 +3,23 @@ paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session env points JAX_PLATFORMS at real TPU
+# hardware ('axon'): unit tests must be hermetic and exercise the virtual
+# 8-device mesh. TPU-hardware validation happens via bench.py / verify drives.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# A pytest plugin may already have imported jax (baking in the env default),
+# so set the config knob directly too — legal until the backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, (
+    "tests require the 8-device virtual CPU mesh; got "
+    f"{jax.devices()} — was a backend initialized before conftest?"
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

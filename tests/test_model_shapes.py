@@ -24,16 +24,27 @@ NUM_CLASSES = 5
 
 
 def test_encoder_tap_strides():
-    params = init_vgg16(jax.random.PRNGKey(0))
+    # tiny-width proxy: same 16-layer graph, cheap on CPU
+    params = init_vgg16(jax.random.PRNGKey(0), width_mult=1 / 32, fc_channels=64)
     x = jnp.zeros((1, 64, 96, 3), jnp.float32)
     pool3, pool4, fc7 = apply_vgg16(params, x, compute_dtype=jnp.float32)
-    assert pool3.shape == (1, 8, 12, 256)   # stride 8
-    assert pool4.shape == (1, 4, 6, 512)    # stride 16
-    assert fc7.shape == (1, 2, 3, 4096)     # stride 32
+    assert pool3.shape == (1, 8, 12, 8)     # stride 8
+    assert pool4.shape == (1, 4, 6, 16)     # stride 16
+    assert fc7.shape == (1, 2, 3, 64)       # stride 32
+
+
+def test_canonical_param_shapes():
+    # full-width init (no forward pass): canonical VGG-16 kernel shapes
+    params = init_vgg16(jax.random.PRNGKey(0))
+    assert params["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
+    assert params["conv3_3"]["kernel"].shape == (3, 3, 256, 256)
+    assert params["conv5_3"]["kernel"].shape == (3, 3, 512, 512)
+    assert params["fc6"]["kernel"].shape == (7, 7, 512, 4096)
+    assert params["fc7"]["kernel"].shape == (1, 1, 4096, 4096)
 
 
 def test_full_model_output_resolution():
-    params = init_fcn8s(jax.random.PRNGKey(0), NUM_CLASSES)
+    params = init_fcn8s(jax.random.PRNGKey(0), NUM_CLASSES, width_mult=1 / 32, fc_channels=32)
     x = jnp.zeros((2, 64, 96, 3), jnp.float32)
     logits = apply_fcn8s(params, x, compute_dtype=jnp.float32)
     assert logits.shape == (2, 64, 96, NUM_CLASSES)
@@ -42,10 +53,10 @@ def test_full_model_output_resolution():
 
 def test_decoder_shape_algebra():
     # Feed synthetic taps at strides 8/16/32 of a 32x64 "image".
-    dec = init_fcn8s_decoder(jax.random.PRNGKey(1), NUM_CLASSES)
-    pool3 = jnp.zeros((1, 4, 8, 256))
-    pool4 = jnp.zeros((1, 2, 4, 512))
-    fc7 = jnp.zeros((1, 1, 2, 4096))
+    dec = init_fcn8s_decoder(jax.random.PRNGKey(1), NUM_CLASSES, pool3_ch=8, pool4_ch=16, fc7_ch=32)
+    pool3 = jnp.zeros((1, 4, 8, 8))
+    pool4 = jnp.zeros((1, 2, 4, 16))
+    fc7 = jnp.zeros((1, 1, 2, 32))
     logits = apply_fcn8s_decoder(dec, pool3, pool4, fc7, compute_dtype=jnp.float32)
     assert logits.shape == (1, 32, 64, NUM_CLASSES)
 
@@ -104,7 +115,7 @@ def test_conv2d_same_preserves_shape():
 
 
 def test_decoder_l2_loss_positive_and_tf_semantics():
-    dec = init_fcn8s_decoder(jax.random.PRNGKey(2), NUM_CLASSES)
+    dec = init_fcn8s_decoder(jax.random.PRNGKey(2), NUM_CLASSES, pool3_ch=8, pool4_ch=16, fc7_ch=32)
     loss = decoder_l2_loss(dec)
     manual = sum(0.5 * float(np.sum(np.asarray(v["kernel"]) ** 2)) for v in dec.values())
     np.testing.assert_allclose(float(loss), manual, rtol=1e-5)

@@ -1,0 +1,154 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4).
+
+A tiny proxy model config keeps CPU runtime sane while exercising the real
+train/eval step machinery, mesh construction, TP param specs, and the
+DP-equivalence invariant (devices=8 result == devices=1 result).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from fcn8s_tensorflow_tpu.models.fcn8s import init_fcn8s
+from fcn8s_tensorflow_tpu.ops.metrics import empty_metrics_state, finalize_metrics
+from fcn8s_tensorflow_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    param_spec_tree,
+    shard_batch,
+)
+from fcn8s_tensorflow_tpu.parallel.steps import (
+    TrainState,
+    compile_eval_step,
+    compile_predict_step,
+    compile_train_step,
+    create_train_state,
+    make_optimizer,
+)
+
+NUM_CLASSES = 4
+HW = (32, 32)
+
+
+@pytest.fixture(scope="module")
+def model_state():
+    params = init_fcn8s(jax.random.PRNGKey(0), NUM_CLASSES, width_mult=1 / 32, fc_channels=32)
+    optimizer = make_optimizer()
+    return create_train_state(params, optimizer), optimizer
+
+
+def _batch(rng, n):
+    images = rng.integers(0, 255, size=(n, *HW, 3), dtype=np.uint8)
+    labels = rng.integers(0, NUM_CLASSES, size=(n, *HW), dtype=np.uint8)
+    return images, labels
+
+
+def test_mesh_axes():
+    mesh = create_mesh()
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.size == 8
+
+
+def test_mesh_shapes():
+    assert create_mesh(data=4, model=2).devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        create_mesh(data=5, model=3)
+
+
+def test_param_spec_tree_tp_rules(model_state):
+    state, _ = model_state
+    specs = param_spec_tree(state.params)
+    assert specs["encoder"]["fc6"]["kernel"] == P(None, None, None, "model")
+    assert specs["encoder"]["fc6"]["bias"] == P("model")
+    assert specs["encoder"]["fc7"]["kernel"] == P(None, None, "model", None)
+    assert specs["encoder"]["conv1_1"]["kernel"] == P()
+    assert specs["decoder"]["fc7_1x1"]["kernel"] == P()
+
+
+def test_dp_train_step_runs_and_matches_single_device(model_state, rng):
+    state, optimizer = model_state
+    images, labels = _batch(rng, 8)
+    key = jax.random.PRNGKey(7)
+
+    mesh8 = create_mesh(data=8, model=1)
+    step8 = compile_train_step(mesh8, optimizer, NUM_CLASSES,
+                               compute_dtype=jnp.float32, example_state=state, donate=False)
+    im8, lb8 = shard_batch(mesh8, images, labels)
+    new8, loss8 = step8(state, im8, lb8, key, 1e-3, 0.0, 1.0)
+
+    mesh1 = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+    step1 = compile_train_step(mesh1, optimizer, NUM_CLASSES,
+                               compute_dtype=jnp.float32, example_state=state, donate=False)
+    im1, lb1 = shard_batch(mesh1, images, labels)
+    new1, loss1 = step1(state, im1, lb1, key, 1e-3, 0.0, 1.0)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    # parameters after one step must agree (DP-equivalence invariant)
+    l8 = jax.tree.leaves(new8.params)
+    l1 = jax.tree.leaves(new1.params)
+    for a, b in zip(l8, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+    assert int(new8.step) == 1
+
+
+def test_tp_train_step_runs(model_state, rng):
+    state, optimizer = model_state
+    images, labels = _batch(rng, 4)
+    mesh = create_mesh(data=2, model=4)
+    step = compile_train_step(mesh, optimizer, NUM_CLASSES,
+                              compute_dtype=jnp.float32, example_state=state, donate=False)
+    im, lb = shard_batch(mesh, images, labels)
+    new_state, loss = step(state, im, lb, jax.random.PRNGKey(0), 1e-3, 1e-4, 0.9)
+    assert np.isfinite(float(loss))
+    # fc6 kernel really is sharded over the model axis
+    fc6 = new_state.params["encoder"]["fc6"]["kernel"]
+    assert fc6.sharding.spec == P(None, None, None, "model")
+
+
+def test_eval_step_accumulates(model_state, rng):
+    state, _ = model_state
+    mesh = create_mesh(data=8, model=1)
+    evalf = compile_eval_step(mesh, NUM_CLASSES, compute_dtype=jnp.float32,
+                              example_params=state.params)
+    mstate = empty_metrics_state(NUM_CLASSES)
+    for _ in range(2):
+        images, labels = _batch(rng, 8)
+        im, lb = shard_batch(mesh, images, labels)
+        mstate = evalf(state.params, mstate, im, lb)
+    out = finalize_metrics(mstate)
+    assert float(mstate["total"]) == 2 * 8 * HW[0] * HW[1]
+    assert 0.0 <= float(out["accuracy"]) <= 1.0
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_predict_step_shapes(model_state, rng):
+    state, _ = model_state
+    mesh = create_mesh(data=8, model=1)
+    images, _ = _batch(rng, 8)
+    pred_ids = compile_predict_step(mesh, argmax=True, compute_dtype=jnp.float32,
+                                    example_params=state.params)(state.params, shard_batch(mesh, images))
+    assert pred_ids.shape == (8, *HW)
+    assert pred_ids.dtype == jnp.int32
+    probs = compile_predict_step(mesh, argmax=False, compute_dtype=jnp.float32,
+                                 example_params=state.params)(state.params, shard_batch(mesh, images))
+    assert probs.shape == (8, *HW, NUM_CLASSES)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_lr_is_live_per_step(model_state, rng):
+    """Changing the traced learning rate must not recompile and must change
+    the update magnitude (the reference's per-step LR schedule semantics)."""
+    state, optimizer = model_state
+    mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+    step = compile_train_step(mesh, optimizer, NUM_CLASSES,
+                              compute_dtype=jnp.float32, example_state=state, donate=False)
+    images, labels = _batch(rng, 1)
+    im, lb = shard_batch(mesh, images, labels)
+    key = jax.random.PRNGKey(0)
+    s_small, _ = step(state, im, lb, key, 1e-6, 0.0, 1.0)
+    s_big, _ = step(state, im, lb, key, 1e-2, 0.0, 1.0)
+    d_small = float(jnp.abs(s_small.params["decoder"]["fc7_1x1"]["kernel"] - state.params["decoder"]["fc7_1x1"]["kernel"]).max())
+    d_big = float(jnp.abs(s_big.params["decoder"]["fc7_1x1"]["kernel"] - state.params["decoder"]["fc7_1x1"]["kernel"]).max())
+    assert d_big > d_small * 100
