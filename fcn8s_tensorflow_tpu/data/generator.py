@@ -1,0 +1,312 @@
+"""Dataset indexing, pairing, and the online/offline batch generator.
+
+Re-implements the reference ``BatchGenerator``
+(`/root/reference/data_generator/batch_generator.py:16-468`) with the same
+public API — ``__init__(image_dirs, ...)``, ``generate(batch_size, ...)``,
+``process_all(...)``, ``get_num_files()`` — and the same discovery/pairing
+rules (recursive ``os.walk``, GT filename = left-of-separator + suffix +
+extension, existence/count validation raising ``DataError``).
+
+TPU-first deviations (all opt-in or invisible to the API):
+
+* ``seed`` makes the whole augmentation stream deterministic (the reference
+  mutates global RNG state).
+* ``convert_to_one_hot=False`` (with ``num_classes`` set) yields uint8 ID
+  maps instead of one-hot: the device pipeline one-hot-expands (or gathers)
+  inside the jitted step, cutting host->device traffic by num_classes x.
+* ``pad_to_multiple`` pads H/W up with void so any source size feeds the
+  stride-32 model without recompiles.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from glob import glob
+from math import ceil
+
+import numpy as np
+from PIL import Image
+
+from . import augment
+# aliased: `convert_ids_to_ids` is also a kwarg name in generate() (API parity
+# with the reference), which would shadow the function.
+from .conversions import convert_between_ids_and_colors, convert_ids_to_one_hot
+from .conversions import convert_ids_to_ids as _remap_ids_lut
+from .conversions import convert_ids_to_ids_partial as _remap_ids_dict
+
+
+class DataError(Exception):
+    """Dataset inconsistency (missing GT pair, empty dataset, count mismatch)
+    — reference `batch_generator.py:490-494`."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def __str__(self):
+        return repr(self.value)
+
+
+def _imread(path: str) -> np.ndarray:
+    return np.asarray(Image.open(path))
+
+
+def _imwrite(path: str, arr: np.ndarray) -> None:
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    Image.fromarray(arr).save(path)
+
+
+class BatchGenerator:
+    """See module docstring. Constructor arguments match the reference
+    (`batch_generator.py:16-130`)."""
+
+    def __init__(
+        self,
+        image_dirs,
+        image_file_extension="png",
+        ground_truth_dirs=None,
+        image_name_split_separator=None,
+        ground_truth_suffix=None,
+        check_existence=True,
+        num_classes=None,
+        root_dir=None,
+        export_dir=None,
+    ):
+        self.image_dirs = image_dirs
+        self.ground_truth_dirs = ground_truth_dirs
+        self.root_dir = root_dir
+        self.export_dir = export_dir
+        self.image_paths = []
+        self.ground_truth_paths = {}
+        self.num_classes = num_classes
+        self.ground_truth = False
+
+        if ground_truth_dirs is not None and len(image_dirs) != len(ground_truth_dirs):
+            raise ValueError(
+                "`image_dirs` and `ground_truth_dirs` must contain the same number of elements."
+            )
+
+        ext = image_file_extension.lower()
+
+        for i, image_dir in enumerate(image_dirs):
+            for image_dir_path, _, _ in os.walk(image_dir, topdown=True):
+                found = sorted(glob(os.path.join(image_dir_path, "*." + ext)))
+                if not found:
+                    continue
+                self.image_paths += found
+                if ground_truth_dirs is None:
+                    continue
+                # GT lives under <gt_dir>/<basename of current image subdir>/
+                gt_subdir = os.path.basename(os.path.normpath(image_dir_path))
+                gt_dir_path = os.path.join(ground_truth_dirs[i], gt_subdir)
+                for image_path in found:
+                    image_name = os.path.basename(image_path)
+                    left_part = image_name.split(image_name_split_separator, 1)[0]
+                    gt_name = left_part + ground_truth_suffix + "." + ext
+                    gt_path = os.path.join(gt_dir_path, gt_name)
+                    if check_existence and not os.path.isfile(gt_path):
+                        raise DataError(
+                            f"The dataset contains an image file '{image_path}' for which the "
+                            f"corresponding ground truth image file does not exist at '{gt_path}'."
+                        )
+                    self.ground_truth_paths[image_name] = gt_path
+
+        self.dataset_size = len(self.image_paths)
+        if self.dataset_size == 0:
+            raise DataError(
+                f"No images with the given file extension '{ext}' were found in the given "
+                "image directories."
+            )
+        if ground_truth_dirs is not None and len(self.ground_truth_paths) != self.dataset_size:
+            raise DataError(
+                "Ground truth directories were given, but the number of ground truth images "
+                f"found does not match the number of images. Number of images: "
+                f"{self.dataset_size}. Number of ground truth images: "
+                f"{len(self.ground_truth_paths)}"
+            )
+        if self.ground_truth_paths:
+            self.ground_truth = True
+
+    def get_num_files(self) -> int:
+        return self.dataset_size
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        batch_size,
+        convert_colors_to_ids=False,
+        convert_ids_to_ids=False,
+        convert_to_one_hot=True,
+        void_class_id=None,
+        random_crop=False,
+        crop=False,
+        resize=False,
+        brightness=False,
+        flip=False,
+        translate=False,
+        scale=False,
+        gray=False,
+        to_disk=False,
+        shuffle=True,
+        seed=None,
+        pad_to_multiple=None,
+    ):
+        """Infinite batch iterator with the reference's exact transform
+        pipeline and argument semantics (`batch_generator.py:140-417`);
+        see module docstring for the TPU-first extras."""
+        if (convert_to_one_hot or convert_colors_to_ids is not False or convert_ids_to_ids is not False) and not self.ground_truth:
+            raise ValueError("Cannot convert ground truth data: No ground truth data given.")
+        if convert_to_one_hot and self.num_classes is None:
+            raise ValueError(
+                "One-hot conversion requires that you pass an integer value for `num_classes` "
+                "in the constructor, but `num_classes` is `None`."
+            )
+
+        rng = np.random.default_rng(seed)
+        image_paths = list(self.image_paths)
+        if shuffle:
+            rng.shuffle(image_paths)
+        current = 0
+
+        while True:
+            images, gt_images = [], []
+
+            if current >= len(image_paths):
+                if shuffle:
+                    rng.shuffle(image_paths)
+                current = 0
+
+            for image_path in image_paths[current : current + batch_size]:
+                image = _imread(image_path)
+                if image.ndim == 2:
+                    image = np.stack([image] * 3, axis=-1)
+                gt_image, gt_path = None, None
+
+                if self.ground_truth:
+                    gt_path = self.ground_truth_paths[os.path.basename(image_path)]
+                    gt_image = _imread(gt_path)
+                    gt_dtype = gt_image.dtype
+
+                    if convert_colors_to_ids is not False:
+                        gt_image = convert_between_ids_and_colors(
+                            gt_image, convert_colors_to_ids, gt_dtype=gt_dtype
+                        )
+                    if convert_ids_to_ids is not False:
+                        if isinstance(convert_ids_to_ids, np.ndarray):
+                            gt_image = _remap_ids_lut(gt_image, convert_ids_to_ids)
+                        elif isinstance(convert_ids_to_ids, dict):
+                            gt_image = _remap_ids_dict(gt_image, convert_ids_to_ids)
+
+                # --- augmentation pipeline, reference order ---
+                if random_crop:
+                    image, gt_image = augment.random_crop_with_void(
+                        rng, image, gt_image, random_crop, void_class_id
+                    )
+                if crop:
+                    image, gt_image = augment.fixed_crop(image, gt_image, crop)
+                if resize:
+                    image, gt_image = augment.resize_pair(image, gt_image, resize)
+                if brightness and rng.random() >= (1 - brightness[2]):
+                    image = augment.brightness_hsv(rng, image, brightness[0], brightness[1])
+                if flip and rng.random() >= (1 - flip):
+                    image, gt_image = augment.horizontal_flip(image, gt_image)
+                if translate and rng.random() >= (1 - translate[2]):
+                    image, gt_image = augment.translate(
+                        rng, image, gt_image, translate[0], translate[1], void_class_id
+                    )
+                if scale and rng.random() >= (1 - scale[2]):
+                    image, gt_image = augment.scale_zoom(
+                        rng, image, gt_image, scale[0], scale[1], void_class_id
+                    )
+                if gray:
+                    image = augment.grayscale(image)
+
+                if pad_to_multiple:
+                    image, gt_image = _pad_to_multiple(
+                        image, gt_image, pad_to_multiple, void_class_id or 0
+                    )
+
+                if to_disk:
+                    self._save_mirrored(image_path, image)
+                    if self.ground_truth:
+                        self._save_mirrored(gt_path, gt_image)
+
+                if convert_to_one_hot:
+                    gt_image = convert_ids_to_one_hot(gt_image, self.num_classes)
+
+                images.append(image)
+                if self.ground_truth:
+                    gt_images.append(gt_image)
+
+            current += batch_size
+
+            if self.ground_truth:
+                yield np.array(images), np.array(gt_images)
+            else:
+                yield np.array(images)
+
+    # ------------------------------------------------------------------
+    def process_all(
+        self,
+        convert_colors_to_ids=False,
+        convert_ids_to_ids=False,
+        convert_to_one_hot=False,
+        void_class_id=None,
+        random_crop=False,
+        crop=False,
+        resize=False,
+        brightness=False,
+        flip=False,
+        translate=False,
+        scale=False,
+        gray=False,
+        batch_size=1,
+    ):
+        """Offline preprocessing: run the whole dataset once through
+        ``generate(to_disk=True, shuffle=False)``, mirroring the source tree
+        under ``export_dir`` (reference `batch_generator.py:419-468`)."""
+        if self.export_dir is None or self.root_dir is None:
+            raise ValueError("process_all requires `root_dir` and `export_dir` in the constructor.")
+        it = self.generate(
+            batch_size=batch_size,
+            convert_colors_to_ids=convert_colors_to_ids,
+            convert_ids_to_ids=convert_ids_to_ids,
+            convert_to_one_hot=convert_to_one_hot,
+            void_class_id=void_class_id,
+            random_crop=random_crop,
+            crop=crop,
+            resize=resize,
+            brightness=brightness,
+            flip=flip,
+            translate=translate,
+            scale=scale,
+            gray=gray,
+            to_disk=True,
+            shuffle=False,
+        )
+        from tqdm import trange
+
+        for _ in trange(ceil(self.dataset_size / batch_size), desc="Processing images"):
+            next(it)
+
+    def _save_mirrored(self, src_path: str, arr: np.ndarray) -> None:
+        out_path = os.path.join(self.export_dir, os.path.relpath(src_path, start=self.root_dir))
+        pathlib.Path(os.path.dirname(out_path)).mkdir(parents=True, exist_ok=True)
+        _imwrite(out_path, arr)
+
+
+def _pad_to_multiple(image, gt_image, multiple, void_class_id):
+    """Pad H/W up to the next multiple (bottom/right), image with black,
+    GT with void — makes arbitrary sizes stride-32-safe."""
+    h, w = image.shape[:2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph == 0 and pw == 0:
+        return image, gt_image
+    image = np.pad(image, ((0, ph), (0, pw), (0, 0)), mode="constant")
+    if gt_image is not None:
+        gt_image = np.pad(
+            gt_image, ((0, ph), (0, pw)), mode="constant", constant_values=void_class_id
+        )
+    return image, gt_image

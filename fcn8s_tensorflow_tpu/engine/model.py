@@ -1,0 +1,598 @@
+"""The ``FCN8s`` facade: the reference's public API, TPU-native inside.
+
+API parity with `/root/reference/fcn8s_tensorflow.py` class ``FCN8s``:
+``__init__`` (3-way load: fresh-build / full checkpoint / variables-only),
+``train()``, ``evaluate()``, ``predict()``, ``predict_and_save()``,
+``save()``, ``load_variables()``, ``close()`` — same argument names where
+they still mean something, documented mappings where TF1 concepts
+(sessions, savers, feed_dict) have no TPU analog.
+
+TPU-native internals:
+
+* one jit-compiled train/eval/predict executable per input shape, cached —
+  the model is fully convolutional and shape buckets recompile once
+  (the reference's dynamic-shape ``sess.run`` becomes XLA static shapes);
+* learning rate / keep_prob / L2 rate are traced scalars: the reference's
+  per-step LR-schedule callable contract holds with zero recompiles;
+* input batches are device_put with the mesh's batch sharding (DP across
+  chips over ICI); gradient psum is inserted by GSPMD;
+* streaming metrics are an explicit device-resident accumulator pytree
+  (the reference's TF1 "metric local variables" + hand-rolled reset op);
+* checkpoints are self-describing msgpack+JSON with the reference's
+  directory-name scheme, best-only monitoring, and max_to_keep pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+from collections import deque
+from glob import glob
+from math import ceil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+from tqdm import trange
+
+from ..models.fcn8s import init_fcn8s
+from ..models.vgg16 import FC6_KERNEL
+from ..ops.metrics import empty_metrics_state, finalize_metrics
+from ..parallel.mesh import batch_sharding, create_mesh, replicated
+from ..parallel.steps import (
+    compile_eval_step,
+    compile_predict_step,
+    compile_train_step,
+    create_train_state,
+    make_optimizer,
+)
+from . import checkpoint as ckpt
+from .summaries import SummaryLogger
+
+_ALLOWED_METRICS = {"loss", "mean_iou", "accuracy"}
+
+
+class FCN8s:
+    """FCN-8s semantic segmentation model with a training/eval/inference
+    runtime. See module docstring; ctor argument semantics follow the
+    reference (`fcn8s_tensorflow.py:19-62`):
+
+    Arguments:
+        model_load_dir: path to a *full* self-describing checkpoint directory
+            (this framework's equivalent of the reference's SavedModel reload
+            path, `:72-101`); rebuilds the model from the stored config and
+            restores params + optimizer state + global step.
+        tags: accepted for signature parity; unused (no metagraphs here).
+        vgg16_dir: path to pretrained convolutionalized-VGG-16 *encoder*
+            weights (a checkpoint produced by ``tools/import_vgg16.py`` from
+            the reference's SavedModel, or any checkpoint with an 'encoder'
+            tree). The reference's opaque-protobuf encoder load (`:127-152`),
+            as an explicit weight restore. Optional: if omitted, the encoder
+            initializes randomly (the reference cannot train from scratch;
+            this framework can).
+        num_classes: number of segmentation classes (required unless
+            ``model_load_dir`` is given).
+        variables_load_dir: checkpoint directory from which to restore model
+            params only (the reference's ``tf.train.Saver`` restore, `:122-125`).
+        mesh: a ``jax.sharding.Mesh`` (defaults to all devices on one 'data'
+            axis); tensor_parallel: shard fc6/fc7 over the 'model' axis.
+        compute_dtype: activation dtype (bfloat16 default — fp32 MXU accum).
+        keep_prob / l2 are per-call args like the reference's placeholders.
+    """
+
+    def __init__(
+        self,
+        model_load_dir=None,
+        tags=None,
+        vgg16_dir=None,
+        num_classes=None,
+        variables_load_dir=None,
+        *,
+        mesh=None,
+        tensor_parallel=False,
+        compute_dtype=jnp.bfloat16,
+        width_mult=1.0,
+        fc_channels=None,
+        bilinear_deconv_init=False,
+        seed=0,
+    ):
+        if model_load_dir is None and num_classes is None:
+            raise ValueError(
+                "You must provide either `model_load_dir` or `num_classes` "
+                "(optionally with `vgg16_dir` for pretrained encoder weights)."
+            )
+
+        self.model_load_dir = model_load_dir
+        self.vgg16_dir = vgg16_dir
+        self.variables_load_dir = variables_load_dir
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.tensor_parallel = tensor_parallel
+        self.compute_dtype = compute_dtype
+
+        if model_load_dir is not None:
+            meta = ckpt.load_metadata(model_load_dir)
+            cfg = meta["model_config"]
+            num_classes = cfg["num_classes"]
+            width_mult = cfg.get("width_mult", 1.0)
+            fc_channels = cfg.get("fc_channels")
+
+        self.num_classes = num_classes
+        self.model_config = {
+            "num_classes": num_classes,
+            "width_mult": width_mult,
+            "fc_channels": fc_channels,
+        }
+
+        self._rng = jax.random.PRNGKey(seed)
+        init_rng, self._train_rng = jax.random.split(self._rng)
+        # jit the whole init: one compiled executable instead of ~100 eager
+        # op dispatches (each eager op costs a round-trip on the axon tunnel —
+        # measured 193s eager vs seconds jitted for the full-width model).
+        init_fn = jax.jit(
+            lambda k: init_fcn8s(
+                k,
+                num_classes,
+                bilinear_deconv_init=bilinear_deconv_init,
+                width_mult=width_mult,
+                fc_channels=fc_channels,
+            )
+        )
+        params = init_fn(init_rng)
+        self.optimizer = make_optimizer()
+        self.state = create_train_state(params, self.optimizer)
+
+        if model_load_dir is not None:
+            example = {
+                "step": self.state.step,
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+            }
+            restored = ckpt.load_checkpoint(model_load_dir, example)
+            self.state = self.state._replace(
+                step=jnp.asarray(restored["step"]),
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+            )
+        elif variables_load_dir is not None:
+            self.load_variables(variables_load_dir)
+        elif vgg16_dir is not None:
+            self._load_vgg16(vgg16_dir)
+
+        # Bookkeeping mirroring the reference (`fcn8s_tensorflow.py:52-62`).
+        self.variables_updated = False
+        self.eval_dataset = None
+        self.metric_names = []
+        self.metric_values = []
+        self.best_metric_values = []
+        self.training_loss = None
+        self.best_training_loss = 99999999.9
+        self.g_step = int(self.state.step)
+
+        # jit executable caches keyed by batch shape
+        self._train_steps = {}
+        self._eval_steps = {}
+        self._predict_steps = {}
+        self._summary_logger = None
+
+    # ------------------------------------------------------------------
+    def _load_vgg16(self, vgg16_dir: str) -> None:
+        """Restore pretrained encoder weights into the param tree
+        (reference `_load_vgg16`, `fcn8s_tensorflow.py:127-152` — there an
+        opaque SavedModel graph load; here an explicit weight restore)."""
+        restored = ckpt.load_params_only(
+            vgg16_dir, {"encoder": self.state.params["encoder"]}
+        )
+        params = dict(self.state.params)
+        params["encoder"] = restored["encoder"]
+        self.state = self.state._replace(params=params)
+
+    # ------------------------------------------------------------------
+    # compiled-step caches
+    # ------------------------------------------------------------------
+    def _get_train_step(self, batch_shape):
+        if batch_shape not in self._train_steps:
+            self._train_steps[batch_shape] = compile_train_step(
+                self.mesh,
+                self.optimizer,
+                self.num_classes,
+                tensor_parallel=self.tensor_parallel,
+                compute_dtype=self.compute_dtype,
+                example_state=self.state,
+            )
+        return self._train_steps[batch_shape]
+
+    def _get_eval_step(self, batch_shape):
+        if batch_shape not in self._eval_steps:
+            self._eval_steps[batch_shape] = compile_eval_step(
+                self.mesh,
+                self.num_classes,
+                tensor_parallel=self.tensor_parallel,
+                compute_dtype=self.compute_dtype,
+                example_params=self.state.params,
+            )
+        return self._eval_steps[batch_shape]
+
+    def _get_predict_step(self, batch_shape, argmax):
+        key = (batch_shape, argmax)
+        if key not in self._predict_steps:
+            self._predict_steps[key] = compile_predict_step(
+                self.mesh,
+                argmax=argmax,
+                tensor_parallel=self.tensor_parallel,
+                compute_dtype=self.compute_dtype,
+                example_params=self.state.params,
+            )
+        return self._predict_steps[key]
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _labels_to_ids(labels: np.ndarray) -> np.ndarray:
+        """Accept one-hot (N,H,W,C) — the reference's contract — or integer
+        ID maps (N,H,W) — the efficient native contract."""
+        if labels.ndim == 4:
+            return np.argmax(labels, axis=-1).astype(np.uint8)
+        return labels.astype(np.uint8)
+
+    def _pad_batch_dim(self, *arrays):
+        """Pad the batch dim up to the mesh's data-axis multiple by repeating
+        the last sample; returns (padded_arrays..., sample_mask). The mask
+        makes loss/metrics exactly short-batch despite the padding."""
+        n = arrays[0].shape[0]
+        data_size = self.mesh.shape["data"]
+        pad = (-n) % data_size
+        mask = np.ones((n + pad,), np.float32)
+        if pad:
+            mask[n:] = 0.0
+            arrays = tuple(
+                np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0) for a in arrays
+            )
+        return (*arrays, mask)
+
+    def _put_batch(self, images, label_ids=None, sample_mask=None):
+        sharding = batch_sharding(self.mesh)
+        out = [jax.device_put(np.ascontiguousarray(images), sharding)]
+        if label_ids is not None:
+            out.append(jax.device_put(np.ascontiguousarray(label_ids), sharding))
+        if sample_mask is not None:
+            out.append(jax.device_put(sample_mask, sharding))
+        return out[0] if len(out) == 1 else tuple(out)
+
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        train_generator,
+        epochs,
+        steps_per_epoch,
+        learning_rate_schedule,
+        keep_prob=0.5,
+        l2_regularization=0.0,
+        eval_dataset="train",
+        eval_frequency=5,
+        val_generator=None,
+        val_steps=None,
+        metrics={},
+        save_during_training=False,
+        save_dir=None,
+        save_best_only=True,
+        save_tags=["default"],
+        save_name="",
+        save_frequency=5,
+        saver="saved_model",
+        monitor="loss",
+        record_summaries=True,
+        summaries_frequency=10,
+        summaries_dir=None,
+        summaries_name=None,
+        training_loss_display_averaging=3,
+    ):
+        """Train the model. Argument semantics follow the reference
+        (`fcn8s_tensorflow.py:399-523`): the generator yields (images,
+        ground_truth) with GT either one-hot (N,H,W,C) or ID maps (N,H,W);
+        ``learning_rate_schedule`` is any ``step -> float`` callable,
+        re-evaluated every step; ``metrics`` selects which of
+        {'loss','mean_iou','accuracy'} to track during periodic evaluation;
+        save-best-only gates checkpoints on the monitored metric improving
+        (note: the reference's monitor logic has live bugs — `:624-626`,
+        the 'accuracry' typo — we implement the documented behavior).
+        """
+        # --- validation (reference `:511-529`) ---
+        metrics = set(metrics)  # the reference's default `{}` is a dict literal
+        if not metrics <= _ALLOWED_METRICS:
+            raise ValueError(f"metrics must be a subset of {_ALLOWED_METRICS}, got {metrics}")
+        if monitor not in _ALLOWED_METRICS:
+            raise ValueError(f"monitor must be one of {_ALLOWED_METRICS}, got '{monitor}'")
+        if eval_dataset not in {"train", "val"}:
+            raise ValueError("eval_dataset must be 'train' or 'val'")
+        if eval_dataset == "val" and (val_generator is None or val_steps is None):
+            raise ValueError("eval_dataset == 'val' requires val_generator and val_steps")
+        if save_during_training and save_dir is None:
+            raise ValueError("save_during_training requires save_dir")
+        if monitor != "loss" and monitor not in metrics:
+            raise ValueError(f"monitor '{monitor}' requires it to be in metrics {metrics}")
+
+        self.eval_dataset = eval_dataset
+        self._initialize_metrics(metrics)
+
+        logger = None
+        if record_summaries:
+            if summaries_dir is None:
+                raise ValueError("record_summaries requires summaries_dir")
+            logger = SummaryLogger(summaries_dir, summaries_name)
+            self._summary_logger = logger
+
+        g_step = int(self.state.step)  # resume from checkpointed global step
+        learning_rate = learning_rate_schedule(g_step)
+        loss_history = deque(maxlen=training_loss_display_averaging)
+
+        for epoch in range(1, epochs + 1):
+            tr = trange(steps_per_epoch, file=sys.stdout)
+            tr.set_description(f"Epoch {epoch}/{epochs}")
+
+            for _ in tr:
+                images, labels = next(train_generator)
+                label_ids = self._labels_to_ids(np.asarray(labels))
+                images, label_ids, mask = self._pad_batch_dim(np.asarray(images), label_ids)
+                step_fn = self._get_train_step(images.shape)
+                im_d, lb_d, mask_d = self._put_batch(images, label_ids, mask)
+                self.state, loss = step_fn(
+                    self.state, im_d, lb_d, mask_d, self._train_rng,
+                    learning_rate, l2_regularization, keep_prob,
+                )
+                g_step += 1
+                self.variables_updated = True
+
+                loss_val = float(loss)
+                loss_history.append(loss_val)
+                self.training_loss = sum(loss_history) / len(loss_history)
+                tr.set_postfix(loss=f"{self.training_loss:.4f}", lr=learning_rate)
+
+                if logger is not None and g_step % summaries_frequency == 0:
+                    logger.log_training_step(g_step, loss_val, learning_rate)
+
+                learning_rate = learning_rate_schedule(g_step)
+
+            self.g_step = g_step
+
+            if logger is not None:
+                logger.log_weight_summaries(g_step, self.state.params)
+
+            # --- periodic evaluation (reference `:589-608`) ---
+            if metrics and epoch % eval_frequency == 0:
+                if eval_dataset == "train":
+                    self._evaluate(
+                        train_generator, metrics, steps_per_epoch,
+                        description="Evaluation on training dataset",
+                    )
+                else:
+                    self._evaluate(
+                        val_generator, metrics, val_steps,
+                        description="Evaluation on validation dataset",
+                    )
+                if logger is not None:
+                    logger.log_evaluation(
+                        g_step, dict(zip(self.metric_names, self.metric_values))
+                    )
+
+            # --- periodic save (reference `:614-642`) ---
+            if save_during_training and epoch % save_frequency == 0:
+                should_save = True
+                if save_best_only:
+                    should_save = self._monitor_improved(monitor, metrics, epoch, eval_frequency)
+                if should_save:
+                    self.save(
+                        model_save_dir=save_dir,
+                        saver=saver,
+                        tags=save_tags,
+                        name=save_name or None,
+                    )
+
+            # --- best-value bookkeeping (reference `:649-658`) ---
+            if self.training_loss is not None and self.training_loss < self.best_training_loss:
+                self.best_training_loss = self.training_loss
+            for i, name in enumerate(self.metric_names):
+                if i < len(self.metric_values):
+                    if name == "loss":
+                        if self.metric_values[i] < self.best_metric_values[i]:
+                            self.best_metric_values[i] = self.metric_values[i]
+                    elif self.metric_values[i] > self.best_metric_values[i]:
+                        self.best_metric_values[i] = self.metric_values[i]
+
+        if logger is not None:
+            logger.flush()
+
+    def _monitor_improved(self, monitor, metrics, epoch, eval_frequency) -> bool:
+        """Documented save-best-only semantics: save iff the monitored value
+        improved on its historical best (lower for loss, higher otherwise)."""
+        if monitor == "loss" and "loss" not in self.metric_names:
+            return self.training_loss is not None and self.training_loss < self.best_training_loss
+        if monitor not in self.metric_names:
+            return True  # nothing measured yet — first save wins
+        i = self.metric_names.index(monitor)
+        if not self.metric_values:
+            return True
+        if monitor == "loss":
+            return self.metric_values[i] < self.best_metric_values[i]
+        return self.metric_values[i] > self.best_metric_values[i]
+
+    def _initialize_metrics(self, metrics) -> None:
+        """Select tracked metrics (reference `_initialize_metrics`,
+        `fcn8s_tensorflow.py:371-397`; fixed order loss, mean_iou, accuracy)."""
+        self.metric_names = [m for m in ("loss", "mean_iou", "accuracy") if m in metrics]
+        self.metric_values = []
+        self.best_metric_values = [
+            99999999.9 if n == "loss" else -1.0 for n in self.metric_names
+        ]
+
+    # ------------------------------------------------------------------
+    def _evaluate(self, data_generator, metrics, num_batches, description="Running evaluation"):
+        """Shared evaluation core (reference `_evaluate`,
+        `fcn8s_tensorflow.py:660-697`): reset accumulators, forward-only
+        update per batch with keep_prob=1, finalize, print."""
+        metrics_state = jax.device_put(
+            empty_metrics_state(self.num_classes), replicated(self.mesh)
+        )
+        tr = trange(num_batches, file=sys.stdout)
+        tr.set_description(description)
+        for _ in tr:
+            images, labels = next(data_generator)
+            label_ids = self._labels_to_ids(np.asarray(labels))
+            images, label_ids, mask = self._pad_batch_dim(np.asarray(images), label_ids)
+            eval_fn = self._get_eval_step(images.shape)
+            im_d, lb_d, mask_d = self._put_batch(images, label_ids, mask)
+            metrics_state = eval_fn(self.state.params, metrics_state, im_d, lb_d, mask_d)
+
+        final = finalize_metrics(metrics_state)
+        values = {k: float(v) for k, v in final.items()}
+        self.metric_values = [values[name] for name in self.metric_names]
+        print("  ".join(f"{n}: {v:.4f}" for n, v in zip(self.metric_names, self.metric_values)))
+        return values
+
+    def evaluate(self, data_generator, num_batches, metrics={"loss", "mean_iou", "accuracy"},
+                 l2_regularization=0.0, dataset="val"):
+        """Public evaluation (reference `evaluate`, `fcn8s_tensorflow.py:699-741`).
+        ``l2_regularization`` is accepted for parity but does not affect the
+        reported loss (matching the reference, whose metric tracks total loss
+        with the fed l2 rate — pass 0.0 there for the same number)."""
+        metrics = set(metrics)
+        if not metrics <= _ALLOWED_METRICS:
+            raise ValueError(f"metrics must be a subset of {_ALLOWED_METRICS}")
+        if dataset not in {"train", "val"}:
+            raise ValueError("dataset must be 'train' or 'val'")
+        self.eval_dataset = dataset
+        self._initialize_metrics(metrics)
+        return self._evaluate(data_generator, metrics, num_batches)
+
+    # ------------------------------------------------------------------
+    def predict(self, images, argmax=True):
+        """Predict segmentations. ``images``: list/array (N,H,W,3), any H,W
+        (padded to stride-32 internally, output cropped back — the reference
+        relied on TF dynamic shapes, `fcn8s_tensorflow.py:743-770`).
+        Returns (N,H,W) int argmax ids, or (N,H,W,C) softmax if ``argmax=False``."""
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        n, h, w = images.shape[:3]
+        ph, pw = (-h) % 32, (-w) % 32
+        if ph or pw:
+            images = np.pad(images, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="constant")
+        images, _ = self._pad_batch_dim(images)
+        fn = self._get_predict_step(images.shape, argmax)
+        out = np.asarray(fn(self.state.params, self._put_batch(images)))
+        return out[:n, :h, :w]
+
+    def predict_and_save(
+        self,
+        results_dir,
+        images_dir,
+        color_map,
+        resize=False,
+        image_file_extension="png",
+        include_unprocessed_image=False,
+        arrangement="vertical",
+        overwrite_existing=True,
+    ):
+        """Segment every image in a directory, overlay, save to disk
+        (reference `fcn8s_tensorflow.py:772-855`). ``color_map`` is a dict
+        class_id -> RGBA, e.g. ``TRAINIDS_TO_RGBA_DICT``."""
+        from ..viz.overlay import create_split_view, print_segmentation_onto_image
+
+        if overwrite_existing and os.path.exists(results_dir):
+            shutil.rmtree(results_dir)
+        os.makedirs(results_dir, exist_ok=True)
+
+        image_paths = sorted(glob(os.path.join(images_dir, "*." + image_file_extension)))
+        print(f'The segmented images will be saved to "{results_dir}"')
+
+        tr = trange(len(image_paths), file=sys.stdout)
+        tr.set_description("Processing images")
+        for i in tr:
+            filepath = image_paths[i]
+            image = np.asarray(Image.open(filepath).convert("RGB"))
+            if resize:
+                import cv2
+
+                image = cv2.resize(image, (resize[1], resize[0]), interpolation=cv2.INTER_LINEAR)
+            pred = self.predict([image], argmax=True)[0]
+            overlaid = print_segmentation_onto_image(image, pred, color_map)
+            if include_unprocessed_image:
+                h, w = overlaid.shape[:2]
+                if arrangement == "vertical":
+                    out = create_split_view(
+                        (2 * h, w), [overlaid, image], [(0, 0), (h, 0)], [(h, w)] * 2
+                    )
+                else:
+                    out = create_split_view(
+                        (h, 2 * w), [overlaid, image], [(0, 0), (0, w)], [(h, w)] * 2
+                    )
+            else:
+                out = overlaid
+            Image.fromarray(out).save(os.path.join(results_dir, os.path.basename(filepath)))
+
+    # ------------------------------------------------------------------
+    def save(
+        self,
+        model_save_dir,
+        saver="saved_model",
+        tags=["default"],
+        name=None,
+        include_global_step=True,
+        include_last_training_loss=True,
+        include_metrics=True,
+        force_save=False,
+    ):
+        """Save a full self-describing checkpoint with the reference's
+        directory naming scheme and dirty-flag skip
+        (`fcn8s_tensorflow.py:857-936`). ``saver``/``tags`` accepted for
+        parity; both backends map to the msgpack format."""
+        if not self.variables_updated and not force_save:
+            print("Abort: Nothing to save, no training has been performed since the model was last saved.")
+            return None
+        if saver not in {"saved_model", "train_saver", "msgpack"}:
+            raise ValueError(
+                "Unexpected value for `saver`: Can be either 'saved_model' or "
+                f"'train_saver', but received '{saver}'."
+            )
+
+        training_loss = self.training_loss if include_last_training_loss else None
+        metric_values = (
+            dict(zip(self.metric_names, self.metric_values))
+            if include_metrics and self.metric_values
+            else None
+        )
+        model_name = ckpt.compose_checkpoint_name(
+            name=name,
+            global_step=int(self.state.step) if include_global_step else None,
+            training_loss=training_loss,
+            eval_dataset=self.eval_dataset,
+            metric_values=metric_values,
+        )
+        directory = os.path.join(model_save_dir, model_name)
+        metadata = {
+            "model_config": self.model_config,
+            "global_step": int(self.state.step),
+            "training_loss": self.training_loss,
+            "eval_dataset": self.eval_dataset,
+            "metrics": metric_values or {},
+            "saved_at": time.time(),
+        }
+        ckpt.save_checkpoint(directory, self.state, metadata, max_to_keep=5)
+        self.variables_updated = False
+        return directory
+
+    def load_variables(self, path):
+        """Restore model params only (reference `load_variables`,
+        `fcn8s_tensorflow.py:938-944`). ``path`` is a checkpoint directory."""
+        params = ckpt.load_params_only(path, self.state.params)
+        self.state = self.state._replace(params=params)
+
+    def close(self):
+        """Release resources (the reference closes its tf.Session,
+        `fcn8s_tensorflow.py:946-951`; here: flush/close summary writers —
+        device buffers are GC-managed)."""
+        if self._summary_logger is not None:
+            self._summary_logger.close()
+            self._summary_logger = None
+        print("The session has been closed.")

@@ -1,0 +1,77 @@
+"""TensorBoard-compatible metric / weight-distribution logging.
+
+Replaces the reference's TF1 summary graph
+(`/root/reference/fcn8s_tensorflow.py:324-369` and
+`/root/reference/helpers/tf_variable_summaries.py:3-20`) with a tensorboardX
+writer pair: separate training and evaluation event streams (the reference's
+dual FileWriters, `:532-536`), scalar loss/learning-rate curves, and per-kernel
+mean/stddev/min/max/histogram summaries for the decoder and the key encoder
+weights.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# The 20 instrumented weight tensors of the reference (`:331-350`): all six
+# decoder kernels+biases plus the heavy encoder kernels.
+DEFAULT_INSTRUMENTED = (
+    ("decoder", "pool3_1x1"),
+    ("decoder", "pool4_1x1"),
+    ("decoder", "fc7_1x1"),
+    ("decoder", "fc7_deconv"),
+    ("decoder", "fc7_pool4_deconv"),
+    ("decoder", "fc7_pool4_pool3_deconv"),
+    ("encoder", "fc6"),
+    ("encoder", "fc7"),
+    ("encoder", "conv4_3"),
+    ("encoder", "conv3_3"),
+)
+
+
+def add_variable_summaries(writer, name: str, array, step: int) -> None:
+    """mean / stddev / min / max scalars + histogram for one tensor —
+    the exact stat set of `tf_variable_summaries.py:3-20`."""
+    arr = np.asarray(array, dtype=np.float32)
+    writer.add_scalar(f"{name}/mean", float(arr.mean()), step)
+    writer.add_scalar(f"{name}/stddev", float(arr.std()), step)
+    writer.add_scalar(f"{name}/min", float(arr.min()), step)
+    writer.add_scalar(f"{name}/max", float(arr.max()), step)
+    writer.add_histogram(f"{name}/histogram", arr, step)
+
+
+class SummaryLogger:
+    """Dual train/eval event streams with the reference's summary content."""
+
+    def __init__(self, summaries_dir: str, summaries_name: str | None = None):
+        from tensorboardX import SummaryWriter
+
+        name = summaries_name or "summaries"
+        self.training_writer = SummaryWriter(os.path.join(summaries_dir, name + "_training"))
+        self.evaluation_writer = SummaryWriter(os.path.join(summaries_dir, name + "_evaluation"))
+
+    def log_training_step(self, step: int, loss: float, learning_rate: float) -> None:
+        self.training_writer.add_scalar("total_loss", loss, step)
+        self.training_writer.add_scalar("learning_rate", learning_rate, step)
+
+    def log_weight_summaries(self, step: int, params: dict, instrumented=DEFAULT_INSTRUMENTED) -> None:
+        for group, layer in instrumented:
+            if group in params and layer in params[group]:
+                for pname, arr in params[group][layer].items():
+                    add_variable_summaries(
+                        self.training_writer, f"{group}/{layer}/{pname}", arr, step
+                    )
+
+    def log_evaluation(self, step: int, metric_values: dict) -> None:
+        for name, value in metric_values.items():
+            self.evaluation_writer.add_scalar(name, float(value), step)
+
+    def flush(self) -> None:
+        self.training_writer.flush()
+        self.evaluation_writer.flush()
+
+    def close(self) -> None:
+        self.training_writer.close()
+        self.evaluation_writer.close()

@@ -34,27 +34,44 @@ def empty_metrics_state(num_classes: int) -> dict:
     }
 
 
-def confusion_matrix(pred_ids, gt_ids, num_classes: int):
+def confusion_matrix(pred_ids, gt_ids, num_classes: int, sample_mask=None):
     """(C, C) counts with rows = ground truth, cols = prediction, via
-    one-hot matmul on the MXU. Inputs are integer ID maps of any shape."""
+    one-hot matmul on the MXU. Inputs are integer ID maps of any shape.
+    ``sample_mask`` (leading-dim 0/1 floats) excludes padded samples."""
     pred = pred_ids.reshape(-1)
     gt = gt_ids.reshape(-1)
     classes = jnp.arange(num_classes, dtype=jnp.int32)
     # (P, C) one-hots in bf16 are exact for 0/1 values; accumulate fp32.
     gt_oh = (gt[:, None].astype(jnp.int32) == classes).astype(jnp.bfloat16)
+    if sample_mask is not None:
+        px_mask = jnp.broadcast_to(
+            sample_mask.reshape(sample_mask.shape + (1,) * (pred_ids.ndim - 1)), pred_ids.shape
+        ).reshape(-1)
+        gt_oh = gt_oh * px_mask[:, None].astype(jnp.bfloat16)
     pred_oh = (pred[:, None].astype(jnp.int32) == classes).astype(jnp.bfloat16)
     return jnp.dot(gt_oh.T, pred_oh, preferred_element_type=jnp.float32)
 
 
-def update_metrics_state(state: dict, *, loss, pred_ids, gt_ids, num_classes: int) -> dict:
+def update_metrics_state(
+    state: dict, *, loss, pred_ids, gt_ids, num_classes: int, sample_mask=None
+) -> dict:
     """One batch's worth of accumulation (the reference's
-    ``metric_update_ops``, `fcn8s_tensorflow.py:284-301`)."""
-    n_px = jnp.asarray(pred_ids.size, jnp.float32)
+    ``metric_update_ops``, `fcn8s_tensorflow.py:284-301`). ``sample_mask``
+    (N,) of 0/1 excludes batch-padding samples exactly."""
+    if sample_mask is None:
+        n_px = jnp.asarray(pred_ids.size, jnp.float32)
+        correct = jnp.sum((pred_ids == gt_ids).astype(jnp.float32))
+    else:
+        px_per_sample = pred_ids.size // pred_ids.shape[0]
+        n_px = jnp.sum(sample_mask) * px_per_sample
+        mask = sample_mask.reshape(sample_mask.shape + (1,) * (pred_ids.ndim - 1))
+        correct = jnp.sum((pred_ids == gt_ids).astype(jnp.float32) * mask)
     return {
         "loss_sum": state["loss_sum"] + loss.astype(jnp.float32),
         "loss_count": state["loss_count"] + 1.0,
-        "conf_matrix": state["conf_matrix"] + confusion_matrix(pred_ids, gt_ids, num_classes),
-        "correct": state["correct"] + jnp.sum((pred_ids == gt_ids).astype(jnp.float32)),
+        "conf_matrix": state["conf_matrix"]
+        + confusion_matrix(pred_ids, gt_ids, num_classes, sample_mask),
+        "correct": state["correct"] + correct,
         "total": state["total"] + n_px,
     }
 

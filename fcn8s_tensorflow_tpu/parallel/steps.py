@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.fcn8s import apply_fcn8s, decoder_l2_loss
-from ..ops.losses import mean_softmax_cross_entropy
+from ..ops.losses import softmax_cross_entropy_with_ids
 from ..ops.metrics import empty_metrics_state, update_metrics_state
 
 
@@ -66,6 +66,7 @@ def train_step(
     state: TrainState,
     images,
     label_ids,
+    sample_mask,
     rng,
     learning_rate,
     l2_rate,
@@ -75,10 +76,13 @@ def train_step(
     num_classes: int,
     compute_dtype=jnp.bfloat16,
 ):
-    """One optimization step. ``images`` NHWC uint8, ``label_ids`` NHW uint8.
+    """One optimization step. ``images`` NHWC uint8, ``label_ids`` NHW uint8,
+    ``sample_mask`` (N,) float 0/1 — zeros mark batch-padding samples added
+    to satisfy the mesh's data-axis divisibility; the masked mean makes the
+    gradient *exactly* the short-batch gradient.
 
-    Returns (new_state, total_loss). Loss = mean softmax CE over all pixels
-    + l2_rate * sum(l2(decoder kernels)) (reference `:250-253`).
+    Returns (new_state, total_loss). Loss = mean softmax CE over all real
+    pixels + l2_rate * sum(l2(decoder kernels)) (reference `:250-253`).
     """
     # Per-step dropout rng: fold the global step in so one key drives the run.
     step_rng = jax.random.fold_in(rng, state.step)
@@ -92,7 +96,9 @@ def train_step(
             deterministic=False,
             compute_dtype=compute_dtype,
         )
-        ce = mean_softmax_cross_entropy(logits, label_ids)
+        ce_px = softmax_cross_entropy_with_ids(logits, label_ids)
+        mask = sample_mask.reshape(sample_mask.shape + (1,) * (ce_px.ndim - 1))
+        ce = jnp.sum(ce_px * mask) / (jnp.sum(sample_mask) * (ce_px.size // ce_px.shape[0]))
         reg = jnp.asarray(l2_rate, jnp.float32) * decoder_l2_loss(params["decoder"])
         return ce + reg
 
@@ -103,17 +109,21 @@ def train_step(
     return TrainState(step=state.step + 1, params=params, opt_state=opt_state), total_loss
 
 
-def eval_step(params, metrics_state, images, label_ids, *, num_classes: int, compute_dtype=jnp.bfloat16):
+def eval_step(params, metrics_state, images, label_ids, sample_mask, *,
+              num_classes: int, compute_dtype=jnp.bfloat16):
     """Forward-only metric accumulation with keep_prob=1 (reference
     `_evaluate`, `fcn8s_tensorflow.py:685-689`). The confusion-matrix /
     accuracy accumulators live on device; across the 'data' axis XLA reduces
-    them because the out-sharding is replicated."""
+    them because the out-sharding is replicated. ``sample_mask`` excludes
+    batch-padding samples exactly."""
     logits = apply_fcn8s(params, images, deterministic=True, compute_dtype=compute_dtype)
-    loss = mean_softmax_cross_entropy(logits, label_ids)
+    ce_px = softmax_cross_entropy_with_ids(logits, label_ids)
+    mask = sample_mask.reshape(sample_mask.shape + (1,) * (ce_px.ndim - 1))
+    loss = jnp.sum(ce_px * mask) / (jnp.sum(sample_mask) * (ce_px.size // ce_px.shape[0]))
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return update_metrics_state(
         metrics_state, loss=loss, pred_ids=pred, gt_ids=label_ids.astype(jnp.int32),
-        num_classes=num_classes,
+        num_classes=num_classes, sample_mask=sample_mask,
     )
 
 
@@ -152,7 +162,7 @@ def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = 
     fn = partial(train_step, optimizer=optimizer, num_classes=num_classes, compute_dtype=compute_dtype)
     return jax.jit(
         fn,
-        in_shardings=(state_shardings, data, data, rep, rep, rep, rep),
+        in_shardings=(state_shardings, data, data, data, rep, rep, rep, rep),
         out_shardings=(state_shardings, rep),
         donate_argnums=(0,) if donate else (),
     )
@@ -195,7 +205,7 @@ def compile_eval_step(mesh, num_classes, *, tensor_parallel: bool = True, comput
     fn = partial(eval_step, num_classes=num_classes, compute_dtype=compute_dtype)
     return jax.jit(
         fn,
-        in_shardings=(p_shard, metrics_shard, data, data) if p_shard is not None else None,
+        in_shardings=(p_shard, metrics_shard, data, data, data) if p_shard is not None else None,
         out_shardings=metrics_shard,
         donate_argnums=(1,),
     )

@@ -1,0 +1,112 @@
+"""Visualization & media utilities.
+
+Re-implements `/root/reference/helpers/visualization_utils.py:7-120`:
+segmentation overlay (argmax -> RGBA color map -> alpha composite), split
+views with captions, and video export. The overlay math is vectorized NumPy
+alpha compositing (the reference uses a PIL paste); video export uses
+imageio/cv2 (the reference's moviepy is not in this environment, and cv2
+ships everywhere the rest of the pipeline runs).
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+import numpy as np
+from PIL import Image
+
+
+def print_segmentation_onto_image(image, prediction, color_map) -> np.ndarray:
+    """Overlay a segmentation onto ``image``.
+
+    ``prediction``: (H, W) integer class ids, (1, H, W), or (1, H, W, C) /
+    (H, W, C) class scores (argmaxed here — the reference argmaxes softmax
+    output on host at `visualization_utils.py:39`).
+    ``color_map``: dict class_id -> RGBA (alpha 0..255), e.g.
+    ``TRAINIDS_TO_RGBA_DICT``. Returns an RGB uint8 array of image size.
+    """
+    image = np.asarray(image)
+    if image.ndim != 3:
+        raise ValueError(f"Expected image of rank 3, got shape {image.shape}")
+    pred = np.asarray(prediction)
+    if pred.ndim == 4:
+        pred = pred[0]
+    if pred.ndim == 3 and pred.shape[:2] == image.shape[:2]:
+        pred = np.argmax(pred, axis=-1)
+    elif pred.ndim == 3:  # (1, H, W)
+        pred = pred[0]
+    if pred.shape != image.shape[:2]:
+        raise ValueError(
+            f"Prediction spatial dims {pred.shape} do not match image {image.shape[:2]}"
+        )
+
+    num_ids = int(max(color_map.keys())) + 1
+    lut = np.zeros((num_ids, 4), dtype=np.float32)
+    for class_id, rgba in color_map.items():
+        if class_id >= 0:
+            lut[class_id] = rgba
+    rgba = lut[np.clip(pred, 0, num_ids - 1)]
+    alpha = rgba[..., 3:4] / 255.0
+    out = image.astype(np.float32) * (1 - alpha) + rgba[..., :3] * alpha
+    return out.astype(np.uint8)
+
+
+def create_split_view(target_size, images, positions, sizes, captions=None) -> np.ndarray:
+    """Compose ``images`` onto a black canvas of ``target_size`` (H, W):
+    each image i is resized to ``sizes[i]`` (H, W) and pasted at
+    ``positions[i]`` (y, x); optional caption strings are drawn top-left of
+    each (reference `visualization_utils.py:54-100`)."""
+    import cv2
+
+    canvas = np.zeros((target_size[0], target_size[1], 3), dtype=np.uint8)
+    for i, img in enumerate(images):
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        h, w = sizes[i]
+        img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+        y, x = positions[i]
+        h = min(h, target_size[0] - y)
+        w = min(w, target_size[1] - x)
+        canvas[y : y + h, x : x + w] = img[:h, :w]
+        if captions is not None and captions[i]:
+            cv2.putText(
+                canvas, captions[i], (x + 8, y + 24), cv2.FONT_HERSHEY_SIMPLEX,
+                0.7, (255, 255, 255), 2, cv2.LINE_AA,
+            )
+    return canvas
+
+
+def create_video_from_images(
+    video_output_name: str,
+    image_input_dir: str,
+    frame_rate: float = 30.0,
+    image_file_extension: str = "png",
+) -> str:
+    """Encode every ``*.ext`` image in a directory (sorted) into an MP4
+    (reference `visualization_utils.py:102-120`). Returns the output path."""
+    paths = sorted(glob(os.path.join(image_input_dir, "*." + image_file_extension)))
+    if not paths:
+        raise ValueError(f"No .{image_file_extension} images in {image_input_dir}")
+    out_path = video_output_name if video_output_name.endswith(".mp4") else video_output_name + ".mp4"
+
+    first = np.asarray(Image.open(paths[0]).convert("RGB"))
+    h, w = first.shape[:2]
+    try:
+        import imageio
+
+        with imageio.get_writer(out_path, fps=frame_rate) as writer:
+            for p in paths:
+                writer.append_data(np.asarray(Image.open(p).convert("RGB")))
+    except Exception:
+        import cv2
+
+        vw = cv2.VideoWriter(
+            out_path, cv2.VideoWriter_fourcc(*"mp4v"), frame_rate, (w, h)
+        )
+        for p in paths:
+            frame = np.asarray(Image.open(p).convert("RGB"))
+            vw.write(frame[:, :, ::-1])  # RGB -> BGR
+        vw.release()
+    return out_path

@@ -1,0 +1,299 @@
+"""Data pipeline tests: pairing, augmentation semantics, offline mode, KITTI,
+prefetch (SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fcn8s_tensorflow_tpu.data import augment
+from fcn8s_tensorflow_tpu.data.generator import BatchGenerator, DataError
+from fcn8s_tensorflow_tpu.data.kitti import batch_generator as kitti_generator
+
+
+# ---------------------------------------------------------------------------
+# fixtures: a tiny Cityscapes-style tree
+# ---------------------------------------------------------------------------
+@pytest.fixture
+def cityscapes_tree(tmp_path, rng):
+    """images/<city>/<name>_leftImg8bit.png + gt/<city>/<name>_gtFine_labelIds.png"""
+    img_root = tmp_path / "images"
+    gt_root = tmp_path / "gt"
+    names = []
+    for city in ["aachen", "bochum"]:
+        (img_root / city).mkdir(parents=True)
+        (gt_root / city).mkdir(parents=True)
+        for i in range(3):
+            stem = f"{city}_{i:06d}_000019"
+            img = rng.integers(0, 255, (40, 64, 3), dtype=np.uint8)
+            gt = rng.integers(0, 20, (40, 64), dtype=np.uint8)
+            Image.fromarray(img).save(img_root / city / f"{stem}_leftImg8bit.png")
+            Image.fromarray(gt).save(gt_root / city / f"{stem}_gtFine_labelIds.png")
+            names.append(stem)
+    return {"img_root": str(img_root), "gt_root": str(gt_root), "names": names,
+            "tmp": tmp_path}
+
+
+def _make_gen(tree, **kw):
+    return BatchGenerator(
+        image_dirs=[tree["img_root"]],
+        ground_truth_dirs=[tree["gt_root"]],
+        image_name_split_separator="leftImg8bit",
+        ground_truth_suffix="gtFine_labelIds",
+        num_classes=20,
+        **kw,
+    )
+
+
+def test_pairing_discovers_all(cityscapes_tree):
+    gen = _make_gen(cityscapes_tree)
+    assert gen.get_num_files() == 6
+    assert gen.ground_truth
+
+
+def test_missing_gt_raises(cityscapes_tree):
+    os.remove(
+        os.path.join(cityscapes_tree["gt_root"], "aachen",
+                     "aachen_000000_000019_gtFine_labelIds.png")
+    )
+    with pytest.raises(DataError):
+        _make_gen(cityscapes_tree)
+
+
+def test_empty_dataset_raises(tmp_path):
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(DataError):
+        BatchGenerator(image_dirs=[str(tmp_path / "empty")])
+
+
+def test_generate_one_hot_batch(cityscapes_tree):
+    gen = _make_gen(cityscapes_tree)
+    images, gts = next(gen.generate(batch_size=2, seed=0))
+    assert images.shape == (2, 40, 64, 3)
+    assert gts.shape == (2, 40, 64, 20)
+    assert gts.sum(-1).max() == 1
+
+
+def test_generate_id_maps(cityscapes_tree):
+    gen = _make_gen(cityscapes_tree)
+    images, gts = next(gen.generate(batch_size=2, convert_to_one_hot=False, seed=0))
+    assert gts.shape == (2, 40, 64)
+    assert gts.dtype == np.uint8
+
+
+def test_generate_deterministic_with_seed(cityscapes_tree):
+    gen = _make_gen(cityscapes_tree)
+    kw = dict(batch_size=2, flip=0.5, brightness=(0.5, 1.5, 0.5),
+              translate=((0, 4), (0, 4), 0.5), scale=(0.8, 1.2, 0.5),
+              void_class_id=0, convert_to_one_hot=False)
+    a = [next(gen.generate(seed=123, **kw)) for _ in range(1)]
+    b = [next(gen.generate(seed=123, **kw)) for _ in range(1)]
+    np.testing.assert_array_equal(a[0][0], b[0][0])
+    np.testing.assert_array_equal(a[0][1], b[0][1])
+
+
+def test_generate_epoch_wraps(cityscapes_tree):
+    gen = _make_gen(cityscapes_tree)
+    it = gen.generate(batch_size=4, shuffle=False, convert_to_one_hot=False)
+    next(it)  # 4 of 6
+    images, _ = next(it)  # remaining 2 (short batch, reference semantics)
+    assert images.shape[0] == 2
+    images, _ = next(it)  # wrapped around
+    assert images.shape[0] == 4
+
+
+def test_resize_and_remap(cityscapes_tree):
+    from fcn8s_tensorflow_tpu.labels import IDS_TO_TRAINIDS_ARRAY
+
+    gen = _make_gen(cityscapes_tree)
+    images, gts = next(gen.generate(
+        batch_size=1, resize=(20, 32), convert_ids_to_ids=IDS_TO_TRAINIDS_ARRAY,
+        convert_to_one_hot=False, shuffle=False, seed=0))
+    assert images.shape == (1, 20, 32, 3)
+    assert gts.shape == (1, 20, 32)
+    assert gts.max() < 20
+
+
+def test_pad_to_multiple(cityscapes_tree):
+    gen = _make_gen(cityscapes_tree)
+    images, gts = next(gen.generate(
+        batch_size=1, pad_to_multiple=32, void_class_id=0,
+        convert_to_one_hot=False, shuffle=False))
+    assert images.shape[1] % 32 == 0 and images.shape[2] % 32 == 0
+    assert images.shape[1:3] == (64, 64)  # 40 -> 64, 64 -> 64
+
+
+def test_process_all_mirrors_tree(cityscapes_tree):
+    export = str(cityscapes_tree["tmp"] / "export")
+    gen = BatchGenerator(
+        image_dirs=[cityscapes_tree["img_root"]],
+        ground_truth_dirs=[cityscapes_tree["gt_root"]],
+        image_name_split_separator="leftImg8bit",
+        ground_truth_suffix="gtFine_labelIds",
+        num_classes=20,
+        root_dir=str(cityscapes_tree["tmp"]),
+        export_dir=export,
+    )
+    gen.process_all(resize=(20, 32))
+    out = os.path.join(export, "images", "aachen", "aachen_000000_000019_leftImg8bit.png")
+    assert os.path.isfile(out)
+    assert np.asarray(Image.open(out)).shape == (20, 32, 3)
+    gt_out = os.path.join(export, "gt", "aachen", "aachen_000000_000019_gtFine_labelIds.png")
+    assert np.asarray(Image.open(gt_out)).shape == (20, 32)
+
+
+# ---------------------------------------------------------------------------
+# augmentation transform semantics
+# ---------------------------------------------------------------------------
+def test_random_crop_smaller(rng):
+    img = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+    gt = rng.integers(0, 5, (20, 30), dtype=np.uint8)
+    out_img, out_gt = augment.random_crop_with_void(rng, img, gt, (10, 12), 0)
+    assert out_img.shape == (10, 12, 3) and out_gt.shape == (10, 12)
+
+
+def test_random_crop_larger_pads_void(rng):
+    img = np.full((8, 8, 3), 200, dtype=np.uint8)
+    gt = np.full((8, 8), 3, dtype=np.uint8)
+    out_img, out_gt = augment.random_crop_with_void(rng, img, gt, (16, 16), 7)
+    assert out_img.shape == (16, 16, 3)
+    # exactly 8x8 of the original content survives; the rest is void
+    assert (out_gt == 3).sum() == 64
+    assert (out_gt == 7).sum() == 256 - 64
+    assert (out_img.sum(-1) > 0).sum() == 64
+
+
+def test_fixed_crop(rng):
+    img = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+    out, _ = augment.fixed_crop(img, None, (2, 3, 4, 5))
+    assert out.shape == (15, 21, 3)
+    np.testing.assert_array_equal(out, img[2:17, 4:25])
+
+
+def test_resize_gt_is_nearest(rng):
+    gt = np.zeros((10, 10), dtype=np.uint8)
+    gt[:5] = 7
+    _, out_gt = augment.resize_pair(np.zeros((10, 10, 3), np.uint8), gt, (20, 20))
+    # nearest keeps only {0, 7}; bilinear would interpolate
+    assert set(np.unique(out_gt)) == {0, 7}
+
+
+def test_brightness_clamps(rng):
+    img = np.full((8, 8, 3), 250, dtype=np.uint8)
+    out = augment.brightness_hsv(rng, img, 2.0, 2.0)
+    assert out.dtype == np.uint8
+    assert out.max() <= 255
+
+
+def test_flip(rng):
+    img = rng.integers(0, 255, (4, 6, 3), dtype=np.uint8)
+    gt = rng.integers(0, 5, (4, 6), dtype=np.uint8)
+    out_img, out_gt = augment.horizontal_flip(img, gt)
+    np.testing.assert_array_equal(out_img, img[:, ::-1])
+    np.testing.assert_array_equal(out_gt, gt[:, ::-1])
+
+
+def test_translate_fills_void(rng):
+    img = np.full((10, 10, 3), 100, dtype=np.uint8)
+    gt = np.full((10, 10), 2, dtype=np.uint8)
+    out_img, out_gt = augment.translate(rng, img, gt, (3, 3), (0, 0), void_class_id=9)
+    assert out_img.shape == img.shape
+    # 3 columns shifted out; their replacement is black/void
+    assert (out_gt == 9).sum() == 3 * 10
+    assert (out_gt == 2).sum() == 7 * 10
+
+
+def test_scale_down_centers_on_void(rng):
+    img = np.full((10, 10, 3), 100, dtype=np.uint8)
+    gt = np.full((10, 10), 2, dtype=np.uint8)
+    out_img, out_gt = augment.scale_zoom(rng, img, gt, 0.5, 0.5, void_class_id=9)
+    assert out_img.shape == img.shape
+    assert (out_gt == 2).sum() == 25
+    assert out_gt[5, 5] == 2 and out_gt[0, 0] == 9
+
+
+def test_scale_up_crops_center(rng):
+    img = np.zeros((10, 10, 3), dtype=np.uint8)
+    img[4:6, 4:6] = 255
+    gt = np.zeros((10, 10), dtype=np.uint8)
+    out_img, out_gt = augment.scale_zoom(rng, img, gt, 2.0, 2.0, void_class_id=9)
+    assert out_img.shape == img.shape
+    assert out_gt.shape == gt.shape
+    assert 9 not in np.unique(out_gt)  # zoom-in never introduces void
+
+
+def test_grayscale(rng):
+    img = rng.integers(0, 255, (6, 6, 3), dtype=np.uint8)
+    out = augment.grayscale(img)
+    assert out.shape == (6, 6, 1)
+
+
+# ---------------------------------------------------------------------------
+# KITTI
+# ---------------------------------------------------------------------------
+@pytest.fixture
+def kitti_tree(tmp_path, rng):
+    img_dir = tmp_path / "image_2"
+    gt_dir = tmp_path / "gt_image_2"
+    img_dir.mkdir()
+    gt_dir.mkdir()
+    for i in range(3):
+        img = rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)
+        gt = np.full((16, 24, 3), [255, 0, 0], dtype=np.uint8)  # all background
+        gt[8:, :] = [255, 0, 255]  # bottom half road
+        Image.fromarray(img).save(img_dir / f"um_{i:06d}.png")
+        Image.fromarray(gt).save(gt_dir / f"um_road_{i:06d}.png")
+    return str(img_dir), str(gt_dir)
+
+
+def test_kitti_generator(kitti_tree):
+    img_dir, gt_dir = kitti_tree
+    images, gts = next(kitti_generator(2, img_dir, gt_dir, shuffle=False, seed=0))
+    assert images.shape == (2, 16, 24, 3)
+    assert gts.shape == (2, 16, 24, 2)
+    # bottom half is road (channel 1)
+    assert gts[0, 12, 12, 1] == 1 and gts[0, 2, 2, 0] == 1
+
+
+def test_kitti_id_maps(kitti_tree):
+    img_dir, gt_dir = kitti_tree
+    _, gts = next(kitti_generator(1, img_dir, gt_dir, shuffle=False, one_hot=False))
+    assert gts.shape == (1, 16, 24)
+    assert set(np.unique(gts)) == {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# prefetch
+# ---------------------------------------------------------------------------
+def test_device_prefetcher(cityscapes_tree):
+    import jax
+
+    from fcn8s_tensorflow_tpu.data.prefetch import DevicePrefetcher
+    from fcn8s_tensorflow_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    mesh = create_mesh(data=2, model=1, devices=jax.devices()[:2])
+    gen = _make_gen(cityscapes_tree)
+    host_it = gen.generate(batch_size=2, convert_to_one_hot=False, seed=0)
+    pf = DevicePrefetcher(host_it, batch_sharding(mesh), depth=2)
+    for _ in range(3):
+        images, gts = next(pf)
+        assert images.shape == (2, 40, 64, 3)
+        assert images.sharding.spec == jax.sharding.PartitionSpec("data")
+    pf.close()
+
+
+def test_device_prefetcher_propagates_errors():
+    import jax
+
+    from fcn8s_tensorflow_tpu.data.prefetch import DevicePrefetcher
+
+    def bad_iter():
+        yield np.zeros((2, 4, 4, 3), np.uint8)
+        raise RuntimeError("boom")
+
+    pf = DevicePrefetcher(bad_iter(), jax.sharding.SingleDeviceSharding(jax.devices()[0]))
+    next(pf)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(pf)
+        next(pf)

@@ -1,0 +1,222 @@
+"""FCN8s facade end-to-end tests: train/evaluate/predict/save/load round
+trips on a tiny-width model (SURVEY.md §4: overfit-one-batch convergence)."""
+
+import itertools
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from fcn8s_tensorflow_tpu.engine.model import FCN8s
+from fcn8s_tensorflow_tpu.engine.schedules import (
+    constant,
+    piecewise_constant,
+    reference_tutorial_schedule,
+)
+
+NUM_CLASSES = 3
+HW = (32, 64)
+TINY = dict(width_mult=1 / 32, fc_channels=32, compute_dtype=jnp.float32)
+
+
+def _toy_batch(n=2):
+    """Deterministic, learnable toy data: class = horizontal third."""
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, size=(n, *HW, 3), dtype=np.uint8)
+    labels = np.zeros((n, *HW), np.uint8)
+    labels[:, :, 21:42] = 1
+    labels[:, :, 42:] = 2
+    return images, labels
+
+
+def _repeat_batches(images, labels):
+    while True:
+        yield images, labels
+
+
+@pytest.fixture(scope="module")
+def trained_model(tmp_path_factory):
+    """Overfit one batch for 30 steps; shared across tests in this module."""
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch()
+    gen = _repeat_batches(images, labels)
+    model.train(
+        train_generator=gen,
+        epochs=3,
+        steps_per_epoch=10,
+        learning_rate_schedule=constant(2e-3),
+        keep_prob=1.0,
+        metrics={"loss", "mean_iou", "accuracy"},
+        eval_frequency=3,
+        eval_dataset="train",
+        record_summaries=False,
+    )
+    return model, images, labels
+
+
+def test_schedules():
+    s = piecewise_constant([10, 20], [1.0, 0.5, 0.1])
+    assert s(0) == 1.0 and s(10) == 0.5 and s(19) == 0.5 and s(20) == 0.1
+    ref = reference_tutorial_schedule()
+    assert ref(0) == 1e-4 and ref(15000) == 1e-5 and ref(30000) == 3e-6 and ref(50000) == 1e-6
+    with pytest.raises(ValueError):
+        piecewise_constant([10], [1.0])
+
+
+def test_ctor_requires_config():
+    with pytest.raises(ValueError):
+        FCN8s()
+
+
+def test_overfit_one_batch_converges(trained_model):
+    model, images, labels = trained_model
+    assert int(model.state.step) == 30
+    # loss should have dropped well below ln(3)=1.0986 on the overfit batch
+    assert model.training_loss < 0.9
+    # evaluation ran at epoch 3 and recorded all three metrics
+    assert model.metric_names == ["loss", "mean_iou", "accuracy"]
+    assert len(model.metric_values) == 3
+    acc = model.metric_values[model.metric_names.index("accuracy")]
+    assert acc > 0.5
+
+
+def test_predict_argmax_and_softmax(trained_model):
+    model, images, labels = trained_model
+    pred = model.predict(images)
+    assert pred.shape == (2, *HW)
+    # overfit batch: prediction should mostly match the labels
+    assert (pred == labels).mean() > 0.5
+    probs = model.predict(images, argmax=False)
+    assert probs.shape == (2, *HW, NUM_CLASSES)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
+
+def test_predict_pads_odd_sizes(trained_model):
+    model, _, _ = trained_model
+    odd = np.zeros((1, 37, 50, 3), np.uint8)
+    pred = model.predict(odd)
+    assert pred.shape == (1, 37, 50)
+
+
+def test_train_validates_args(trained_model):
+    model, images, labels = trained_model
+    gen = _repeat_batches(images, labels)
+    with pytest.raises(ValueError, match="monitor"):
+        model.train(gen, 1, 1, constant(1e-3), metrics={"loss"}, monitor="bogus",
+                    record_summaries=False)
+    with pytest.raises(ValueError, match="val"):
+        model.train(gen, 1, 1, constant(1e-3), metrics={"loss"}, eval_dataset="val",
+                    record_summaries=False)
+    with pytest.raises(ValueError, match="summaries_dir"):
+        model.train(gen, 1, 1, constant(1e-3), record_summaries=True)
+
+
+def test_save_load_roundtrip(trained_model, tmp_path):
+    model, images, labels = trained_model
+    model.variables_updated = True
+    model.training_loss = 0.1234
+    save_dir = str(tmp_path / "ckpts")
+    path = model.save(save_dir, saver="saved_model")
+    assert path is not None
+    base = os.path.basename(path)
+    assert base.startswith("saved_model_(globalstep-30)")
+    assert "(trainloss-0.1234)" in base
+
+    # full reload (the reference's SavedModel path): no num_classes needed
+    reloaded = FCN8s(model_load_dir=path, compute_dtype=jnp.float32)
+    assert reloaded.num_classes == NUM_CLASSES
+    assert int(reloaded.state.step) == 30
+    pred_a = model.predict(images)
+    pred_b = reloaded.predict(images)
+    np.testing.assert_array_equal(pred_a, pred_b)
+
+
+def test_save_dirty_flag(trained_model, tmp_path):
+    model, _, _ = trained_model
+    model.variables_updated = False
+    assert model.save(str(tmp_path / "x")) is None  # no-op skip
+    assert model.save(str(tmp_path / "x"), force_save=True) is not None
+
+
+def test_load_variables_roundtrip(trained_model, tmp_path):
+    model, images, _ = trained_model
+    model.variables_updated = True
+    path = model.save(str(tmp_path / "vars"), force_save=True)
+    fresh = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    before = fresh.predict(images)
+    fresh.load_variables(path)
+    after = fresh.predict(images)
+    np.testing.assert_array_equal(after, model.predict(images))
+    assert not np.array_equal(before, after)
+
+
+def test_vgg16_dir_encoder_restore(trained_model, tmp_path):
+    """vgg16_dir loads encoder weights only — decoder stays fresh."""
+    model, images, _ = trained_model
+    model.variables_updated = True
+    path = model.save(str(tmp_path / "enc"), force_save=True)
+    m2 = FCN8s(num_classes=NUM_CLASSES, vgg16_dir=path, **TINY)
+    np.testing.assert_array_equal(
+        np.asarray(m2.state.params["encoder"]["conv1_1"]["kernel"]),
+        np.asarray(model.state.params["encoder"]["conv1_1"]["kernel"]),
+    )
+    assert not np.array_equal(
+        np.asarray(m2.state.params["decoder"]["fc7_1x1"]["kernel"]),
+        np.asarray(model.state.params["decoder"]["fc7_1x1"]["kernel"]),
+    )
+
+
+def test_evaluate_public(trained_model):
+    model, images, labels = trained_model
+    gen = _repeat_batches(images, labels)
+    values = model.evaluate(gen, num_batches=2, dataset="train")
+    assert set(values) == {"loss", "mean_iou", "accuracy"}
+    assert values["accuracy"] > 0.5
+
+
+def test_predict_and_save(trained_model, tmp_path):
+    from fcn8s_tensorflow_tpu.labels import TRAINIDS_TO_RGBA_DICT
+
+    model, images, _ = trained_model
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    for i, img in enumerate(images):
+        Image.fromarray(img).save(img_dir / f"img_{i}.png")
+    out_dir = str(tmp_path / "out")
+    cmap = {i: (*np.random.default_rng(i).integers(0, 255, 3).tolist(), 127) for i in range(NUM_CLASSES)}
+    model.predict_and_save(out_dir, str(img_dir), cmap)
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["img_0.png", "img_1.png"]
+    out_img = np.asarray(Image.open(os.path.join(out_dir, "img_0.png")))
+    assert out_img.shape == (*HW, 3)
+
+    # split-view variant
+    out_dir2 = str(tmp_path / "out2")
+    model.predict_and_save(out_dir2, str(img_dir), cmap,
+                           include_unprocessed_image=True, arrangement="vertical")
+    split = np.asarray(Image.open(os.path.join(out_dir2, "img_0.png")))
+    assert split.shape == (2 * HW[0], HW[1], 3)
+
+
+def test_summaries_written(trained_model, tmp_path):
+    model, images, labels = trained_model
+    gen = _repeat_batches(images, labels)
+    sdir = str(tmp_path / "tb")
+    model.train(
+        gen, epochs=1, steps_per_epoch=2,
+        learning_rate_schedule=constant(1e-4),
+        metrics={"loss"}, eval_frequency=1, eval_dataset="train",
+        record_summaries=True, summaries_frequency=1,
+        summaries_dir=sdir, summaries_name="run1",
+    )
+    streams = sorted(os.listdir(sdir))
+    assert streams == ["run1_evaluation", "run1_training"]
+    assert any(f.startswith("events") for f in os.listdir(os.path.join(sdir, "run1_training")))
+
+
+def test_close_is_safe(trained_model, capsys):
+    model, _, _ = trained_model
+    model.close()
+    assert "closed" in capsys.readouterr().out

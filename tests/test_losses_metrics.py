@@ -102,3 +102,23 @@ def test_perfect_prediction_metrics(rng):
     out = finalize_metrics(state)
     assert float(out["accuracy"]) == 1.0
     assert float(out["mean_iou"]) == 1.0
+
+
+def test_masked_update_excludes_padding(rng):
+    """Batch-padding samples (mask=0) must not affect any accumulator."""
+    C = 4
+    pred = rng.integers(0, C, size=(4, 8, 8))
+    gt = rng.integers(0, C, size=(4, 8, 8))
+    mask = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    masked = update_metrics_state(
+        empty_metrics_state(C), loss=jnp.asarray(1.0),
+        pred_ids=jnp.asarray(pred), gt_ids=jnp.asarray(gt),
+        num_classes=C, sample_mask=mask,
+    )
+    plain = update_metrics_state(
+        empty_metrics_state(C), loss=jnp.asarray(1.0),
+        pred_ids=jnp.asarray(pred[:2]), gt_ids=jnp.asarray(gt[:2]),
+        num_classes=C,
+    )
+    for k in masked:
+        np.testing.assert_allclose(np.asarray(masked[k]), np.asarray(plain[k]), rtol=1e-6)

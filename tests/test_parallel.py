@@ -42,7 +42,8 @@ def model_state():
 def _batch(rng, n):
     images = rng.integers(0, 255, size=(n, *HW, 3), dtype=np.uint8)
     labels = rng.integers(0, NUM_CLASSES, size=(n, *HW), dtype=np.uint8)
-    return images, labels
+    mask = np.ones((n,), np.float32)
+    return images, labels, mask
 
 
 def test_mesh_axes():
@@ -69,20 +70,20 @@ def test_param_spec_tree_tp_rules(model_state):
 
 def test_dp_train_step_runs_and_matches_single_device(model_state, rng):
     state, optimizer = model_state
-    images, labels = _batch(rng, 8)
+    images, labels, mask = _batch(rng, 8)
     key = jax.random.PRNGKey(7)
 
     mesh8 = create_mesh(data=8, model=1)
     step8 = compile_train_step(mesh8, optimizer, NUM_CLASSES,
                                compute_dtype=jnp.float32, example_state=state, donate=False)
-    im8, lb8 = shard_batch(mesh8, images, labels)
-    new8, loss8 = step8(state, im8, lb8, key, 1e-3, 0.0, 1.0)
+    im8, lb8, mk8 = shard_batch(mesh8, images, labels, mask)
+    new8, loss8 = step8(state, im8, lb8, mk8, key, 1e-3, 0.0, 1.0)
 
     mesh1 = create_mesh(data=1, model=1, devices=jax.devices()[:1])
     step1 = compile_train_step(mesh1, optimizer, NUM_CLASSES,
                                compute_dtype=jnp.float32, example_state=state, donate=False)
-    im1, lb1 = shard_batch(mesh1, images, labels)
-    new1, loss1 = step1(state, im1, lb1, key, 1e-3, 0.0, 1.0)
+    im1, lb1, mk1 = shard_batch(mesh1, images, labels, mask)
+    new1, loss1 = step1(state, im1, lb1, mk1, key, 1e-3, 0.0, 1.0)
 
     np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
     # parameters after one step must agree (DP-equivalence invariant)
@@ -95,12 +96,12 @@ def test_dp_train_step_runs_and_matches_single_device(model_state, rng):
 
 def test_tp_train_step_runs(model_state, rng):
     state, optimizer = model_state
-    images, labels = _batch(rng, 4)
+    images, labels, mask = _batch(rng, 4)
     mesh = create_mesh(data=2, model=4)
     step = compile_train_step(mesh, optimizer, NUM_CLASSES,
                               compute_dtype=jnp.float32, example_state=state, donate=False)
-    im, lb = shard_batch(mesh, images, labels)
-    new_state, loss = step(state, im, lb, jax.random.PRNGKey(0), 1e-3, 1e-4, 0.9)
+    im, lb, mk = shard_batch(mesh, images, labels, mask)
+    new_state, loss = step(state, im, lb, mk, jax.random.PRNGKey(0), 1e-3, 1e-4, 0.9)
     assert np.isfinite(float(loss))
     # fc6 kernel really is sharded over the model axis
     fc6 = new_state.params["encoder"]["fc6"]["kernel"]
@@ -114,9 +115,9 @@ def test_eval_step_accumulates(model_state, rng):
                               example_params=state.params)
     mstate = empty_metrics_state(NUM_CLASSES)
     for _ in range(2):
-        images, labels = _batch(rng, 8)
-        im, lb = shard_batch(mesh, images, labels)
-        mstate = evalf(state.params, mstate, im, lb)
+        images, labels, mask = _batch(rng, 8)
+        im, lb, mk = shard_batch(mesh, images, labels, mask)
+        mstate = evalf(state.params, mstate, im, lb, mk)
     out = finalize_metrics(mstate)
     assert float(mstate["total"]) == 2 * 8 * HW[0] * HW[1]
     assert 0.0 <= float(out["accuracy"]) <= 1.0
@@ -126,7 +127,7 @@ def test_eval_step_accumulates(model_state, rng):
 def test_predict_step_shapes(model_state, rng):
     state, _ = model_state
     mesh = create_mesh(data=8, model=1)
-    images, _ = _batch(rng, 8)
+    images, _, _ = _batch(rng, 8)
     pred_ids = compile_predict_step(mesh, argmax=True, compute_dtype=jnp.float32,
                                     example_params=state.params)(state.params, shard_batch(mesh, images))
     assert pred_ids.shape == (8, *HW)
@@ -144,11 +145,11 @@ def test_lr_is_live_per_step(model_state, rng):
     mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
     step = compile_train_step(mesh, optimizer, NUM_CLASSES,
                               compute_dtype=jnp.float32, example_state=state, donate=False)
-    images, labels = _batch(rng, 1)
-    im, lb = shard_batch(mesh, images, labels)
+    images, labels, mask = _batch(rng, 1)
+    im, lb, mk = shard_batch(mesh, images, labels, mask)
     key = jax.random.PRNGKey(0)
-    s_small, _ = step(state, im, lb, key, 1e-6, 0.0, 1.0)
-    s_big, _ = step(state, im, lb, key, 1e-2, 0.0, 1.0)
+    s_small, _ = step(state, im, lb, mk, key, 1e-6, 0.0, 1.0)
+    s_big, _ = step(state, im, lb, mk, key, 1e-2, 0.0, 1.0)
     d_small = float(jnp.abs(s_small.params["decoder"]["fc7_1x1"]["kernel"] - state.params["decoder"]["fc7_1x1"]["kernel"]).max())
     d_big = float(jnp.abs(s_big.params["decoder"]["fc7_1x1"]["kernel"] - state.params["decoder"]["fc7_1x1"]["kernel"]).max())
     assert d_big > d_small * 100
