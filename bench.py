@@ -1,0 +1,122 @@
+"""Benchmark: Cityscapes-resolution FCN-8s train + infer throughput on TPU.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+All progress chatter goes to stderr.
+
+Headline metric (BASELINE.json): train images/sec/chip at 1024x512, 20
+Cityscapes trainId classes, full-width FCN-8s (VGG-16 encoder), Adam,
+keep_prob 0.5 — the reference tutorial's training configuration.
+
+vs_baseline compares against the TF-on-CPU reference-equivalent measured on
+THIS machine by tools/tf_cpu_baseline.py (the reference publishes no
+throughput numbers and runs on CPU absent a GPU — its own warning,
+fcn8s_tensorflow.py:506-507). Measured 2026-08-16, TF 2.21, 1024x512 batch 1:
+0.01926 train img/s (51.9 s/step), 0.1104 infer img/s.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TF_CPU_TRAIN_IMGS_PER_SEC = 0.01926  # tools/tf_cpu_baseline.py
+BASELINE_TF_CPU_INFER_IMGS_PER_SEC = 0.1104
+
+H, W = 1024, 512
+TRAIN_BATCH = 8
+NUM_CLASSES = 20
+WARMUP = 3
+ITERS = 10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fcn8s_tensorflow_tpu.models.fcn8s import init_fcn8s
+    from fcn8s_tensorflow_tpu.parallel.mesh import create_mesh, shard_batch
+    from fcn8s_tensorflow_tpu.parallel.steps import (
+        compile_predict_step,
+        compile_train_step,
+        create_train_state,
+        make_optimizer,
+    )
+
+    log(f"devices: {jax.devices()}")
+    mesh = create_mesh()
+    n_chips = mesh.devices.size
+    rng = np.random.default_rng(0)
+
+    params = jax.jit(lambda k: init_fcn8s(k, NUM_CLASSES))(jax.random.PRNGKey(0))
+    optimizer = make_optimizer()
+    state = create_train_state(params, optimizer)
+
+    # ---- train throughput @ 1024x512 ----
+    step = compile_train_step(mesh, optimizer, NUM_CLASSES, example_state=state)
+    im, lb, mk = shard_batch(
+        mesh,
+        rng.integers(0, 255, (TRAIN_BATCH, H, W, 3), np.uint8),
+        rng.integers(0, NUM_CLASSES, (TRAIN_BATCH, H, W), np.uint8),
+        np.ones((TRAIN_BATCH,), np.float32),
+    )
+    key = jax.random.PRNGKey(1)
+    for _ in range(WARMUP):
+        state, loss = step(state, im, lb, mk, key, 1e-4, 0.0, 0.5)
+    float(loss)  # hard sync (block_until_ready is a no-op on the axon platform)
+    t0 = time.time()
+    for _ in range(ITERS):
+        state, loss = step(state, im, lb, mk, key, 1e-4, 0.0, 0.5)
+    float(loss)
+    train_dt = (time.time() - t0) / ITERS
+    train_imgs_per_sec = TRAIN_BATCH / train_dt
+    log(f"train: {train_dt * 1e3:.1f} ms/step -> {train_imgs_per_sec:.1f} img/s")
+
+    # ---- inference throughput + p50 latency (batch 1) ----
+    pred_fn = compile_predict_step(mesh, argmax=True, example_params=state.params)
+    one = shard_batch(mesh, rng.integers(0, 255, (max(1, n_chips), H, W, 3), np.uint8))
+    for _ in range(WARMUP):
+        out = pred_fn(state.params, one)
+    np.asarray(out)
+    latencies = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        out = pred_fn(state.params, one)
+        np.asarray(out)  # hard sync incl. D2H of the argmax map
+        latencies.append(time.time() - t0)
+    p50 = float(np.median(latencies))
+    infer_imgs_per_sec = one.shape[0] / p50
+    log(f"infer: p50 {p50 * 1e3:.1f} ms -> {infer_imgs_per_sec:.1f} img/s")
+
+    result = {
+        "metric": "fcn8s_train_images_per_sec_per_chip_1024x512",
+        "value": round(train_imgs_per_sec / n_chips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(
+            train_imgs_per_sec / n_chips / BASELINE_TF_CPU_TRAIN_IMGS_PER_SEC, 1
+        ),
+        "extras": {
+            "train_batch": TRAIN_BATCH,
+            "train_ms_per_step": round(train_dt * 1e3, 1),
+            "infer_images_per_sec_per_chip": round(infer_imgs_per_sec / n_chips, 2),
+            "infer_p50_latency_ms_batch1": round(p50 * 1e3, 1),
+            "infer_vs_baseline": round(
+                infer_imgs_per_sec / n_chips / BASELINE_TF_CPU_INFER_IMGS_PER_SEC, 1
+            ),
+            "n_chips": n_chips,
+            "resolution": f"{H}x{W}",
+            "baseline": "TF-CPU reference-equivalent on this host (tools/tf_cpu_baseline.py)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
