@@ -1,0 +1,168 @@
+"""Instance-level AP evaluator on synthetic data (SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fcn8s_tensorflow_tpu.evaluation import instance_eval
+from fcn8s_tensorflow_tpu.evaluation.instance import Instance, instances_to_dict
+
+
+def test_instance_label_decoding():
+    assert Instance.get_label_id(26001) == 26
+    assert Instance.get_label_id(33999) == 33
+    assert Instance.get_label_id(7) == 7  # stuff region keeps bare id
+
+
+def test_instances_to_dict(tmp_path):
+    img = np.zeros((50, 50), np.int32)
+    img[:20, :20] = 26001   # car instance, 400 px
+    img[30:, 30:] = 24001   # person instance, 400 px
+    path = str(tmp_path / "x_000000_000000_gtFine_instanceIds.png")
+    Image.fromarray(img, mode="I").save(path)
+    d = instances_to_dict([path])
+    entry = d[os.path.abspath(path)]
+    cars = entry["car"]
+    assert len(cars) == 1 and cars[0]["pixelCount"] == 400 and cars[0]["instID"] == 26001
+    assert len(entry["person"]) == 1
+    # background (id 0 < 1000) recorded under its label
+    assert entry["unlabeled"][0]["pixelCount"] == 2500 - 800
+
+
+def _write_instance_gt(tmp_path, name, inst_array):
+    path = str(tmp_path / f"{name}_gtFine_instanceIds.png")
+    Image.fromarray(inst_array.astype(np.int32), mode="I").save(path)
+    return path
+
+
+def _write_pred(pred_dir, base, masks):
+    """masks: list of (mask_array, label_id, confidence). Writes the
+    reference's prediction format: info txt + binary mask PNGs."""
+    os.makedirs(pred_dir, exist_ok=True)
+    txt_path = os.path.join(pred_dir, f"{base}.txt")
+    lines = []
+    for i, (mask, label_id, conf) in enumerate(masks):
+        mask_name = f"{base}_mask{i}.png"
+        Image.fromarray((mask * 255).astype(np.uint8)).save(os.path.join(pred_dir, mask_name))
+        lines.append(f"{mask_name} {label_id} {conf}")
+    with open(txt_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return txt_path
+
+
+@pytest.fixture
+def args(tmp_path):
+    a = instance_eval.InstanceEvalArgs()
+    a.quiet = True
+    a.colorized = False
+    a.json_output = True
+    a.export_file = str(tmp_path / "out" / "result.json")
+    a.gt_instances_file = str(tmp_path / "gtInstances.json")
+    a.prediction_path = str(tmp_path / "pred")
+    return a
+
+
+def test_perfect_prediction_ap_one(tmp_path, args):
+    inst = np.zeros((100, 100), np.int32)
+    inst[10:40, 10:40] = 26000   # car instance (900 px >= minRegion 100)
+    gt_path = _write_instance_gt(tmp_path, "c_000000_000000", inst)
+    pred_txt = _write_pred(str(tmp_path / "pred"), "c_000000_000000",
+                           [(inst == 26000, 26, 0.99)])
+    result = instance_eval.evaluate_img_lists([pred_txt], [gt_path], args)
+    assert result["classes"]["car"]["ap"] == pytest.approx(1.0)
+    assert result["allAp50%"] == pytest.approx(1.0)  # only car has GT; others NaN
+    assert os.path.isfile(args.export_file)
+
+
+def test_partial_overlap_counts_only_low_thresholds(tmp_path, args):
+    inst = np.zeros((100, 100), np.int32)
+    inst[0:30, 0:30] = 26000  # 900 px car
+    gt_path = _write_instance_gt(tmp_path, "c_000001_000000", inst)
+    # prediction covers 20x30 = 600 px of the instance, total 600 px
+    mask = np.zeros((100, 100), bool)
+    mask[0:20, 0:30] = True
+    pred_txt = _write_pred(str(tmp_path / "pred"), "c_000001_000000", [(mask, 26, 0.9)])
+    result = instance_eval.evaluate_img_lists([pred_txt], [gt_path], args)
+    # IoU = 600/900 = 0.667 -> matched at overlaps {0.5..0.65}, FN above.
+    # AP = 1.0 for 4 of 10 overlaps, 0 for 6 -> mean 0.4
+    assert result["classes"]["car"]["ap"] == pytest.approx(0.4)
+    assert result["classes"]["car"]["ap50%"] == pytest.approx(1.0)
+
+
+def test_false_positive_lowers_ap(tmp_path, args):
+    # background is road (id 7, evaluated stuff) so the stray prediction is a
+    # REAL false positive, not an ignorable void overlap
+    inst = np.full((100, 100), 7, np.int32)
+    inst[0:30, 0:30] = 26000
+    gt_path = _write_instance_gt(tmp_path, "c_000002_000000", inst)
+    good = inst == 26000
+    fp = np.zeros((100, 100), bool)
+    fp[60:90, 60:90] = True  # 900 px on road -> FP
+    pred_txt = _write_pred(str(tmp_path / "pred"), "c_000002_000000",
+                           [(good, 26, 0.9), (fp, 26, 0.95)])
+    result = instance_eval.evaluate_img_lists([pred_txt], [gt_path], args)
+    # reference PR construction: points (p=0.5, r=1.0) at thr 0.9,
+    # (p=0, r=0) at thr 0.95, artificial (p=1, r=0); step widths
+    # [0.5, 0.5, 0] -> AP = 0.5*0.5 = 0.25
+    assert result["classes"]["car"]["ap50%"] == pytest.approx(0.25)
+
+
+def test_fp_on_void_is_ignored(tmp_path, args):
+    inst = np.zeros((100, 100), np.int32)  # id 0 = unlabeled = void everywhere
+    inst[0:30, 0:30] = 26000
+    gt_path = _write_instance_gt(tmp_path, "c_000003_000000", inst)
+    good = inst == 26000
+    fp_on_void = np.zeros((100, 100), bool)
+    fp_on_void[60:90, 60:90] = True  # entirely on void -> ignored, not FP
+    pred_txt = _write_pred(str(tmp_path / "pred"), "c_000003_000000",
+                           [(good, 26, 0.9), (fp_on_void, 26, 0.95)])
+    result = instance_eval.evaluate_img_lists([pred_txt], [gt_path], args)
+    assert result["classes"]["car"]["ap50%"] == pytest.approx(1.0)
+
+
+def test_small_gt_instances_filtered(tmp_path, args):
+    inst = np.zeros((100, 100), np.int32)
+    inst[0:5, 0:5] = 26000  # 25 px < minRegionSize 100 -> excluded from GT
+    gt_path = _write_instance_gt(tmp_path, "c_000004_000000", inst)
+    pred_txt = _write_pred(str(tmp_path / "pred"), "c_000004_000000", [])
+    result = instance_eval.evaluate_img_lists([pred_txt], [gt_path], args)
+    # no valid GT at all -> NaN everywhere -> allAp is NaN
+    assert np.isnan(result["classes"]["car"]["ap"])
+
+
+def test_missed_gt_is_hard_fn(tmp_path, args):
+    inst = np.zeros((100, 100), np.int32)
+    inst[0:30, 0:30] = 26000
+    inst[60:90, 60:90] = 26001  # second car, unmatched
+    gt_path = _write_instance_gt(tmp_path, "c_000005_000000", inst)
+    pred_txt = _write_pred(str(tmp_path / "pred"), "c_000005_000000",
+                           [(inst == 26000, 26, 0.9)])
+    result = instance_eval.evaluate_img_lists([pred_txt], [gt_path], args)
+    # one TP, one hard FN -> recall caps at 0.5; AP ~ 0.5
+    assert result["classes"]["car"]["ap50%"] == pytest.approx(0.5)
+
+
+def test_gt_instances_cached(tmp_path, args):
+    inst = np.zeros((50, 50), np.int32)
+    inst[0:20, 0:20] = 26000
+    gt_path = _write_instance_gt(tmp_path, "c_000006_000000", inst)
+    pred_txt = _write_pred(str(tmp_path / "pred"), "c_000006_000000", [(inst == 26000, 26, 0.9)])
+    instance_eval.evaluate_img_lists([pred_txt], [gt_path], args)
+    assert os.path.isfile(args.gt_instances_file)
+    # second run loads the cache (and still works)
+    args.prediction_walk = None
+    result = instance_eval.evaluate_img_lists([pred_txt], [gt_path], args)
+    assert result["classes"]["car"]["ap"] == pytest.approx(1.0)
+
+
+def test_pred_info_validation(tmp_path, args):
+    bad = str(tmp_path / "pred" / "bad.txt")
+    os.makedirs(str(tmp_path / "pred"), exist_ok=True)
+    with open(bad, "w") as f:
+        f.write("onlytwo fields\n")
+    with pytest.raises(RuntimeError, match="Invalid prediction file"):
+        instance_eval.read_pred_info(bad, args)
+    with pytest.raises(RuntimeError, match="not found"):
+        instance_eval.read_pred_info(str(tmp_path / "missing.txt"), args)

@@ -1,0 +1,192 @@
+"""Offline pixel-level evaluator + native confusion-matrix kernel tests
+(SURVEY.md §4: C++ kernel vs NumPy reference, score formula parity)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fcn8s_tensorflow_tpu.evaluation import confmat, pixel_eval
+from fcn8s_tensorflow_tpu.labels.cityscapes import id2label, name2label
+from fcn8s_tensorflow_tpu.utils import cs_helpers
+
+
+# ---------------------------------------------------------------------------
+# native kernel
+# ---------------------------------------------------------------------------
+def test_native_kernel_builds_and_matches_numpy(rng):
+    pred = rng.integers(0, 34, (512, 512), dtype=np.uint8)
+    gt = rng.integers(0, 34, (512, 512), dtype=np.uint8)
+    conf = np.zeros((34, 34), np.uint64)
+    confmat.accumulate_confusion(pred, gt, conf)
+    want = np.bincount(
+        gt.astype(np.int64).ravel() * 34 + pred.ravel(), minlength=34 * 34
+    ).reshape(34, 34)
+    np.testing.assert_array_equal(conf, want.astype(np.uint64))
+    assert conf.sum() == pred.size
+
+
+def test_accumulation_is_additive(rng):
+    pred = rng.integers(0, 10, (64, 64), dtype=np.uint8)
+    gt = rng.integers(0, 10, (64, 64), dtype=np.uint8)
+    conf = np.zeros((10, 10), np.uint64)
+    confmat.accumulate_confusion(pred, gt, conf)
+    confmat.accumulate_confusion(pred, gt, conf)
+    assert conf.sum() == 2 * pred.size
+
+
+def test_find_invalid_label():
+    gt = np.array([[1, 2], [3, 9]], dtype=np.uint8)
+    assert confmat.find_invalid_label(gt, [1, 2, 3, 9]) == -1
+    assert confmat.find_invalid_label(gt, [1, 2, 3]) == 3  # flat index of the 9
+
+
+def test_instance_tp_size():
+    inst = np.zeros((10, 10), np.int32)
+    inst[2:6, 2:6] = 26005
+    pred = np.zeros((10, 10), np.uint8)
+    pred[2:4, 2:6] = 26
+    tp, size = confmat.instance_tp_size(pred, inst, 26005, 26)
+    assert (tp, size) == (8, 16)
+
+
+def test_size_mismatch_raises(rng):
+    with pytest.raises(ValueError):
+        confmat.accumulate_confusion(
+            np.zeros((4, 4), np.uint8), np.zeros((5, 5), np.uint8), np.zeros((3, 3), np.uint64)
+        )
+
+
+# ---------------------------------------------------------------------------
+# cs_helpers
+# ---------------------------------------------------------------------------
+def test_cs_file_info():
+    info = cs_helpers.get_cs_file_info("/x/aachen_000001_000019_gtFine_labelIds.png")
+    assert info.city == "aachen"
+    assert info.sequenceNb == "000001"
+    assert info.frameNb == "000019"
+    assert info.type == "gtFine"
+    assert info.type2 == "labelIds"
+    assert info.ext == "png"
+    # multi-underscore city
+    info = cs_helpers.get_cs_file_info("frankfurt_am_main_000001_000019_leftImg8bit.png")
+    assert info.city == "frankfurt_am_main"
+    assert cs_helpers.get_core_image_file_name(
+        "aachen_000001_000019_leftImg8bit.png") == "aachen_000001_000019"
+
+
+def test_color_entry_thresholds():
+    class A: colorized = True
+    assert cs_helpers.get_color_entry(0.1, A()) == cs_helpers.colors.RED
+    assert cs_helpers.get_color_entry(0.95, A()) == cs_helpers.colors.GREEN
+    class B: colorized = False
+    assert cs_helpers.get_color_entry(0.1, B()) == ""
+
+
+# ---------------------------------------------------------------------------
+# pixel-level evaluator on a synthetic dataset
+# ---------------------------------------------------------------------------
+@pytest.fixture
+def synthetic_eval_dataset(tmp_path):
+    """One 100x100 image: GT left half road(7), right half car(26) with one
+    car instance; prediction gets road fully right, car 75% right (misses a
+    25-column strip as building(11))."""
+    gt = np.zeros((100, 100), np.uint8)
+    gt[:, :50] = 7
+    gt[:, 50:] = 26
+    pred = gt.copy()
+    pred[:, 50:75] = 11  # half the car area misclassified as building... 25/50 cols
+    inst = np.zeros((100, 100), np.int32)
+    inst[:, 50:] = 26001  # one car instance
+    gt_dir = tmp_path / "gt"; gt_dir.mkdir()
+    pred_dir = tmp_path / "pred"; pred_dir.mkdir()
+    gt_path = str(gt_dir / "city_000000_000000_gtFine_labelIds.png")
+    inst_path = str(gt_dir / "city_000000_000000_gtFine_instanceIds.png")
+    pred_path = str(pred_dir / "city_000000_000000_pred.png")
+    Image.fromarray(gt).save(gt_path)
+    Image.fromarray(inst.astype(np.int32), mode="I").save(inst_path)
+    Image.fromarray(pred).save(pred_path)
+    return pred_path, gt_path, tmp_path
+
+
+def _quiet_args(tmp_path):
+    args = pixel_eval.EvalArgs()
+    args.quiet = True
+    args.json_output = True
+    args.export_file = str(tmp_path / "out" / "result.json")
+    return args
+
+
+def test_evaluate_img_lists_scores(synthetic_eval_dataset):
+    pred_path, gt_path, tmp_path = synthetic_eval_dataset
+    args = _quiet_args(tmp_path)
+    results = pixel_eval.evaluate_img_lists([pred_path], [gt_path], args)
+
+    # road: predicted perfectly -> IoU 1.0
+    assert results["classScores"]["road"] == pytest.approx(1.0)
+    # car: tp=2500, fn=2500, fp=0 -> IoU 0.5
+    assert results["classScores"]["car"] == pytest.approx(0.5)
+    # building: tp=0 but fp>0 -> 0.0
+    assert results["classScores"]["building"] == pytest.approx(0.0)
+    # never-seen evaluated class -> NaN, excluded from the average
+    assert np.isnan(results["classScores"]["person"])
+    # instance-weighted car iIoU: weight cancels (tp_w=w*2500, fn_w=w*2500, fp=0) -> 0.5
+    assert results["classInstScores"]["car"] == pytest.approx(0.5)
+    # category 'flat' contains road only here -> 1.0
+    assert results["categoryScores"]["flat"] == pytest.approx(1.0)
+    # vehicle category: only car pixels in GT; category-level fp excludes
+    # in-category cols; building is out-of-category fp=0 (building col not in vehicle)
+    assert results["categoryScores"]["vehicle"] == pytest.approx(0.5)
+    # JSON export written
+    assert os.path.isfile(args.export_file)
+
+
+def test_conf_matrix_sanity_check(synthetic_eval_dataset):
+    pred_path, gt_path, tmp_path = synthetic_eval_dataset
+    args = _quiet_args(tmp_path)
+    args.eval_inst_level_score = False
+    results = pixel_eval.evaluate_img_lists([pred_path], [gt_path], args)
+    conf = np.asarray(results["confMatrix"])
+    assert conf.sum() == 100 * 100
+    assert conf[7, 7] == 5000
+    assert conf[26, 26] == 2500
+    assert conf[26, 11] == 2500
+
+
+def test_mismatched_sizes_error(synthetic_eval_dataset, tmp_path):
+    pred_path, gt_path, base = synthetic_eval_dataset
+    bad = str(tmp_path / "bad_pred.png")
+    Image.fromarray(np.zeros((50, 50), np.uint8)).save(bad)
+    args = _quiet_args(base)
+    with pytest.raises(RuntimeError, match="not equal"):
+        pixel_eval.evaluate_img_lists([bad], [gt_path], args)
+
+
+def test_unknown_label_error(synthetic_eval_dataset, tmp_path):
+    pred_path, gt_path, base = synthetic_eval_dataset
+    bad_gt = str(tmp_path / "city_000001_000000_gtFine_labelIds.png")
+    Image.fromarray(np.full((100, 100), 200, np.uint8)).save(bad_gt)
+    args = _quiet_args(base)
+    args.eval_inst_level_score = False
+    with pytest.raises(RuntimeError, match="Unknown label"):
+        pixel_eval.evaluate_img_lists([pred_path], [bad_gt], args)
+
+
+def test_get_prediction_discovery(synthetic_eval_dataset):
+    pred_path, gt_path, tmp_path = synthetic_eval_dataset
+    args = pixel_eval.EvalArgs()
+    args.prediction_path = os.path.dirname(pred_path)
+    found = pixel_eval.get_prediction(args, gt_path)
+    assert found == pred_path
+
+
+def test_eval_pixel_accuracy_stats(synthetic_eval_dataset):
+    pred_path, gt_path, tmp_path = synthetic_eval_dataset
+    args = _quiet_args(tmp_path)
+    args.eval_pixel_accuracy = True
+    args.eval_inst_level_score = False
+    results = pixel_eval.evaluate_img_lists([pred_path], [gt_path], args)
+    stats = results["perImageScores"][pred_path]
+    assert stats["nbNotIgnoredPixels"] == 100 * 100  # all GT px are road/car
+    assert stats["nbCorrectPixels"] == 2500  # reference naming quirk: counts ERRONEOUS px
