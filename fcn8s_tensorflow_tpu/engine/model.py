@@ -201,6 +201,7 @@ class FCN8s:
                 tensor_parallel=self.tensor_parallel,
                 compute_dtype=self.compute_dtype,
                 example_state=self.state,
+                augment_fn=getattr(self, "_augment_fn", None),
             )
         return self._train_steps[batch_shape]
 
@@ -287,6 +288,7 @@ class FCN8s:
         summaries_dir=None,
         summaries_name=None,
         training_loss_display_averaging=3,
+        device_augment=None,
     ):
         """Train the model. Argument semantics follow the reference
         (`fcn8s_tensorflow.py:399-523`): the generator yields (images,
@@ -297,6 +299,12 @@ class FCN8s:
         save-best-only gates checkpoints on the monitored metric improving
         (note: the reference's monitor logic has live bugs — `:624-626`,
         the 'accuracry' typo — we implement the documented behavior).
+
+        ``device_augment`` (TPU-native extra): a dict of kwargs for
+        ``ops.augment_device.make_augment_fn`` (e.g. ``{'flip': 0.5,
+        'brightness': (0.8, 1.2, 0.5)}``) — augmentation runs *inside* the
+        compiled step on device, overlapped with compute, instead of on the
+        host like the reference's OpenCV pipeline.
         """
         # --- validation (reference `:511-529`) ---
         metrics = set(metrics)  # the reference's default `{}` is a dict literal
@@ -312,6 +320,20 @@ class FCN8s:
             raise ValueError("save_during_training requires save_dir")
         if monitor != "loss" and monitor not in metrics:
             raise ValueError(f"monitor '{monitor}' requires it to be in metrics {metrics}")
+
+        if device_augment is not None:
+            from ..ops.augment_device import make_augment_fn
+
+            new_fn = make_augment_fn(**device_augment)
+            if getattr(self, "_device_augment_cfg", None) != device_augment:
+                self._train_steps.clear()  # augment is baked into the executable
+            self._device_augment_cfg = device_augment
+            self._augment_fn = new_fn
+        else:
+            if getattr(self, "_device_augment_cfg", None) is not None:
+                self._train_steps.clear()
+            self._device_augment_cfg = None
+            self._augment_fn = None
 
         self.eval_dataset = eval_dataset
         self._initialize_metrics(metrics)

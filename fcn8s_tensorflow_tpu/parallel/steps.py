@@ -75,17 +75,27 @@ def train_step(
     optimizer: optax.GradientTransformation,
     num_classes: int,
     compute_dtype=jnp.bfloat16,
+    augment_fn=None,
+    use_pallas_ce: bool | None = None,
 ):
     """One optimization step. ``images`` NHWC uint8, ``label_ids`` NHW uint8,
     ``sample_mask`` (N,) float 0/1 — zeros mark batch-padding samples added
     to satisfy the mesh's data-axis divisibility; the masked mean makes the
     gradient *exactly* the short-batch gradient.
 
+    ``augment_fn`` (from ``ops.augment_device.make_augment_fn``) runs
+    device-resident augmentation *inside* the compiled step — VPU work that
+    overlaps the conv pipeline instead of serializing on the host like the
+    reference (SURVEY.md §3.2).
+
     Returns (new_state, total_loss). Loss = mean softmax CE over all real
     pixels + l2_rate * sum(l2(decoder kernels)) (reference `:250-253`).
     """
-    # Per-step dropout rng: fold the global step in so one key drives the run.
+    # Per-step rng: fold the global step in so one key drives the run.
     step_rng = jax.random.fold_in(rng, state.step)
+    if augment_fn is not None:
+        aug_rng, step_rng = jax.random.split(step_rng)
+        images, label_ids = augment_fn(aug_rng, images, label_ids)
 
     def loss_fn(params):
         logits = apply_fcn8s(
@@ -96,9 +106,17 @@ def train_step(
             deterministic=False,
             compute_dtype=compute_dtype,
         )
-        ce_px = softmax_cross_entropy_with_ids(logits, label_ids)
-        mask = sample_mask.reshape(sample_mask.shape + (1,) * (ce_px.ndim - 1))
-        ce = jnp.sum(ce_px * mask) / (jnp.sum(sample_mask) * (ce_px.size // ce_px.shape[0]))
+        # Pallas CE (fwd kernel + narrow-XLA custom VJP) measured a 13%
+        # faster full train step on v5e (159.6 vs 183.2 ms @ 8x1024x512).
+        use_pallas = _on_tpu() if use_pallas_ce is None else use_pallas_ce
+        if use_pallas:
+            from ..ops.pallas_kernels import softmax_cross_entropy_pallas
+
+            ce = softmax_cross_entropy_pallas(logits, label_ids, sample_mask)
+        else:
+            ce_px = softmax_cross_entropy_with_ids(logits, label_ids)
+            mask = sample_mask.reshape(sample_mask.shape + (1,) * (ce_px.ndim - 1))
+            ce = jnp.sum(ce_px * mask) / (jnp.sum(sample_mask) * (ce_px.size // ce_px.shape[0]))
         reg = jnp.asarray(l2_rate, jnp.float32) * decoder_l2_loss(params["decoder"])
         return ce + reg
 
@@ -109,17 +127,33 @@ def train_step(
     return TrainState(step=state.step + 1, params=params, opt_state=opt_state), total_loss
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def eval_step(params, metrics_state, images, label_ids, sample_mask, *,
-              num_classes: int, compute_dtype=jnp.bfloat16):
+              num_classes: int, compute_dtype=jnp.bfloat16, use_pallas_ce: bool | None = None):
     """Forward-only metric accumulation with keep_prob=1 (reference
     `_evaluate`, `fcn8s_tensorflow.py:685-689`). The confusion-matrix /
     accuracy accumulators live on device; across the 'data' axis XLA reduces
     them because the out-sharding is replicated. ``sample_mask`` excludes
     batch-padding samples exactly."""
     logits = apply_fcn8s(params, images, deterministic=True, compute_dtype=compute_dtype)
-    ce_px = softmax_cross_entropy_with_ids(logits, label_ids)
-    mask = sample_mask.reshape(sample_mask.shape + (1,) * (ce_px.ndim - 1))
-    loss = jnp.sum(ce_px * mask) / (jnp.sum(sample_mask) * (ce_px.size // ce_px.shape[0]))
+    if use_pallas_ce is None:
+        use_pallas_ce = _on_tpu()  # Pallas kernels need the TPU backend
+    if use_pallas_ce:
+        # Pallas forward-only CE: 2.9x the composite formulation on v5e
+        # (eval never needs the backward).
+        from ..ops.pallas_kernels import softmax_cross_entropy_pallas
+
+        loss = softmax_cross_entropy_pallas(logits, label_ids, sample_mask)
+    else:
+        ce_px = softmax_cross_entropy_with_ids(logits, label_ids)
+        mask = sample_mask.reshape(sample_mask.shape + (1,) * (ce_px.ndim - 1))
+        loss = jnp.sum(ce_px * mask) / (jnp.sum(sample_mask) * (ce_px.size // ce_px.shape[0]))
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return update_metrics_state(
         metrics_state, loss=loss, pred_ids=pred, gt_ids=label_ids.astype(jnp.int32),
@@ -137,7 +171,8 @@ def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloa
 
 
 def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = True,
-                       compute_dtype=jnp.bfloat16, example_state=None, donate: bool = True):
+                       compute_dtype=jnp.bfloat16, example_state=None, donate: bool = True,
+                       augment_fn=None):
     """jit the train step with mesh shardings: batch over 'data', params per
     the TP rules, carried state donated (in-place update, halves HBM)."""
     from .mesh import batch_sharding, param_sharding_tree, replicated
@@ -159,7 +194,8 @@ def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = 
     else:
         state_shardings = None
 
-    fn = partial(train_step, optimizer=optimizer, num_classes=num_classes, compute_dtype=compute_dtype)
+    fn = partial(train_step, optimizer=optimizer, num_classes=num_classes,
+                 compute_dtype=compute_dtype, augment_fn=augment_fn)
     return jax.jit(
         fn,
         in_shardings=(state_shardings, data, data, data, rep, rep, rep, rep),
