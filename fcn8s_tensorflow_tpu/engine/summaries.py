@@ -31,15 +31,53 @@ DEFAULT_INSTRUMENTED = (
 )
 
 
+_HIST_SAMPLE = 65536
+
+
+def _summary_stats(array):
+    """Device-side mean/std/min/max + a fixed-size strided subsample for the
+    histogram. Keeps the device->host transfer at ~256 KB per tensor instead
+    of the full weights (fc6 alone is 411 MB — pulling it every epoch was
+    measured at ~60 s/epoch over the accelerator link)."""
+    import jax.numpy as jnp
+
+    flat = jnp.ravel(array).astype(jnp.float32)
+    stride = max(1, flat.size // _HIST_SAMPLE)
+    sample = flat[::stride]
+    return (
+        jnp.mean(flat), jnp.std(flat), jnp.min(flat), jnp.max(flat), sample,
+    )
+
+
+_stats_jit_cache = []
+
+
+def _summary_stats_jitted():
+    """Single shared jit wrapper (one compile per tensor shape, cached)."""
+    if not _stats_jit_cache:
+        import jax
+
+        _stats_jit_cache.append(jax.jit(_summary_stats))
+    return _stats_jit_cache[0]
+
+
 def add_variable_summaries(writer, name: str, array, step: int) -> None:
     """mean / stddev / min / max scalars + histogram for one tensor —
-    the exact stat set of `tf_variable_summaries.py:3-20`."""
-    arr = np.asarray(array, dtype=np.float32)
-    writer.add_scalar(f"{name}/mean", float(arr.mean()), step)
-    writer.add_scalar(f"{name}/stddev", float(arr.std()), step)
-    writer.add_scalar(f"{name}/min", float(arr.min()), step)
-    writer.add_scalar(f"{name}/max", float(arr.max()), step)
-    writer.add_histogram(f"{name}/histogram", arr, step)
+    the stat set of `tf_variable_summaries.py:3-20` (histogram from a
+    strided subsample for large tensors; see _summary_stats)."""
+    if hasattr(array, "device"):  # jax array: reduce on device
+        mean, std, lo, hi, sample = _summary_stats_jitted()(array)
+        mean, std, lo, hi = (float(x) for x in (mean, std, lo, hi))
+        hist_src = np.asarray(sample)
+    else:
+        arr = np.asarray(array, dtype=np.float32)
+        mean, std, lo, hi = float(arr.mean()), float(arr.std()), float(arr.min()), float(arr.max())
+        hist_src = arr.ravel()[:: max(1, arr.size // _HIST_SAMPLE)]
+    writer.add_scalar(f"{name}/mean", mean, step)
+    writer.add_scalar(f"{name}/stddev", std, step)
+    writer.add_scalar(f"{name}/min", lo, step)
+    writer.add_scalar(f"{name}/max", hi, step)
+    writer.add_histogram(f"{name}/histogram", hist_src, step)
 
 
 class SummaryLogger:

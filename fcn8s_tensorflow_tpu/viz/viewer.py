@@ -1,0 +1,146 @@
+"""Dataset / result browser (headless).
+
+Capability equivalent of the reference's PyQt4 ``cityscapesViewer``
+(`/root/reference/cityscapesscripts/viewer/cityscapesViewer.py` — browse
+images with label overlays), redesigned for the TPU-era workflow: training
+runs on headless pods, so the viewer renders *contact sheets* (PNG grids)
+and a static HTML gallery instead of an interactive GUI. Each panel shows
+image / GT overlay / optional prediction overlay side by side.
+
+The polygon *annotation editor* (``cityscapesLabelTool.py``) maps to the
+programmatic annotation API (prep/annotation.py: JSON round-trip, object
+editing) plus this viewer for inspection; an interactive pixel editor is
+explicitly out of scope for a headless training framework.
+"""
+
+from __future__ import annotations
+
+import html
+import os
+from glob import glob
+
+import numpy as np
+from PIL import Image
+
+from ..labels.cityscapes import TRAINIDS_TO_RGBA_DICT
+from .overlay import print_segmentation_onto_image
+
+
+def render_panel(image, gt_ids=None, pred_ids=None, color_map=None) -> np.ndarray:
+    """One horizontal panel: [image | GT overlay | prediction overlay]."""
+    color_map = color_map or TRAINIDS_TO_RGBA_DICT
+    image = np.asarray(image)
+    parts = [image]
+    if gt_ids is not None:
+        parts.append(print_segmentation_onto_image(image, np.asarray(gt_ids), color_map))
+    if pred_ids is not None:
+        parts.append(print_segmentation_onto_image(image, np.asarray(pred_ids), color_map))
+    return np.concatenate(parts, axis=1)
+
+
+def contact_sheet(panels: list[np.ndarray], columns: int = 1, pad: int = 4) -> np.ndarray:
+    """Stack panels into a grid with black padding."""
+    if not panels:
+        raise ValueError("no panels")
+    h = max(p.shape[0] for p in panels)
+    w = max(p.shape[1] for p in panels)
+    rows = -(-len(panels) // columns)
+    canvas = np.zeros((rows * (h + pad) - pad, columns * (w + pad) - pad, 3), np.uint8)
+    for i, panel in enumerate(panels):
+        r, c = divmod(i, columns)
+        y, x = r * (h + pad), c * (w + pad)
+        canvas[y : y + panel.shape[0], x : x + panel.shape[1]] = panel
+    return canvas
+
+
+def build_gallery(
+    out_dir: str,
+    image_paths: list[str],
+    gt_loader=None,
+    pred_loader=None,
+    color_map=None,
+    *,
+    max_images: int | None = None,
+    resize_to=None,
+    title: str = "fcn8s_tensorflow_tpu viewer",
+) -> str:
+    """Render per-image panels + an ``index.html`` gallery into ``out_dir``.
+
+    ``gt_loader`` / ``pred_loader``: optional callables
+    ``image_path -> (H, W) id map or None``. Returns the index.html path.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    paths = image_paths[:max_images] if max_images else image_paths
+    entries = []
+    for path in paths:
+        image = np.asarray(Image.open(path).convert("RGB"))
+        if resize_to is not None:
+            image = np.asarray(
+                Image.fromarray(image).resize((resize_to[1], resize_to[0]), Image.BILINEAR)
+            )
+        gt = gt_loader(path) if gt_loader else None
+        pred = pred_loader(path) if pred_loader else None
+        panel = render_panel(image, gt, pred, color_map)
+        name = os.path.splitext(os.path.basename(path))[0] + "_panel.png"
+        Image.fromarray(panel).save(os.path.join(out_dir, name))
+        entries.append((os.path.basename(path), name))
+
+    cols = "image | GT overlay" + (" | prediction" if pred_loader else "")
+    rows = "\n".join(
+        f'<figure><img src="{html.escape(panel)}" loading="lazy">'
+        f"<figcaption>{html.escape(src)}</figcaption></figure>"
+        for src, panel in entries
+    )
+    index = os.path.join(out_dir, "index.html")
+    with open(index, "w") as f:
+        f.write(
+            f"<!doctype html><meta charset='utf-8'><title>{html.escape(title)}</title>"
+            "<style>body{background:#111;color:#eee;font:14px sans-serif;margin:2em}"
+            "img{max-width:100%;display:block;margin:.5em 0}figure{margin:0 0 2em}</style>"
+            f"<h1>{html.escape(title)}</h1><p>panels: {html.escape(cols)}</p>{rows}"
+        )
+    return index
+
+
+def view_cityscapes_split(
+    cityscapes_root: str,
+    split: str = "val",
+    out_dir: str = "viewer_out",
+    results_dir: str | None = None,
+    *,
+    max_images: int = 20,
+    gt_type: str = "gtFine",
+) -> str:
+    """Browse a Cityscapes split: left images + labelTrainIds overlays
+    (+ predictions from ``results_dir`` if given). Returns index.html."""
+    image_paths = sorted(
+        glob(os.path.join(cityscapes_root, "leftImg8bit", split, "*", "*_leftImg8bit.png"))
+    )
+    if not image_paths:
+        raise ValueError(f"no images under {cityscapes_root}/leftImg8bit/{split}")
+
+    def gt_loader(path):
+        base = path.replace("leftImg8bit", gt_type, 1).replace("_leftImg8bit.png", "")
+        train_ids_path = f"{base}_{gt_type}_labelTrainIds.png"
+        if os.path.isfile(train_ids_path):
+            return np.asarray(Image.open(train_ids_path))
+        label_ids_path = f"{base}_{gt_type}_labelIds.png"
+        if os.path.isfile(label_ids_path):
+            from ..labels.cityscapes import IDS_TO_TRAINIDS_ARRAY
+
+            return IDS_TO_TRAINIDS_ARRAY[np.asarray(Image.open(label_ids_path))]
+        return None
+
+    pred_loader = None
+    if results_dir:
+        def pred_loader(path):
+            from ..utils.cs_helpers import get_core_image_file_name
+
+            core = get_core_image_file_name(path)
+            candidates = glob(os.path.join(results_dir, f"{core}*.png"))
+            return np.asarray(Image.open(candidates[0])) if candidates else None
+
+    return build_gallery(
+        out_dir, image_paths, gt_loader, pred_loader, max_images=max_images,
+        title=f"Cityscapes {split}",
+    )

@@ -1,0 +1,137 @@
+"""VGG-16 pretrained weight import: layout conversion + end-to-end restore."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+import import_vgg16  # noqa: E402
+from fcn8s_tensorflow_tpu.models.vgg16 import VGG16_CONV_LAYERS  # noqa: E402
+
+
+def _synthetic_torch_state_dict(rng):
+    import torch
+
+    sd = {}
+    for (name, in_ch, out_ch), idx in zip(VGG16_CONV_LAYERS, import_vgg16._TORCH_FEATURE_IDX):
+        sd[f"features.{idx}.weight"] = torch.from_numpy(
+            rng.normal(size=(out_ch, in_ch, 3, 3)).astype(np.float32))
+        sd[f"features.{idx}.bias"] = torch.from_numpy(
+            rng.normal(size=(out_ch,)).astype(np.float32))
+    sd["classifier.0.weight"] = torch.from_numpy(
+        rng.normal(size=(4096, 512 * 7 * 7)).astype(np.float32))
+    sd["classifier.0.bias"] = torch.from_numpy(rng.normal(size=(4096,)).astype(np.float32))
+    sd["classifier.3.weight"] = torch.from_numpy(
+        rng.normal(size=(4096, 4096)).astype(np.float32))
+    sd["classifier.3.bias"] = torch.from_numpy(rng.normal(size=(4096,)).astype(np.float32))
+    return sd
+
+
+@pytest.fixture(scope="module")
+def torch_encoder(rng_module):
+    sd = _synthetic_torch_state_dict(rng_module)
+    return sd, import_vgg16.from_torch_state_dict(sd)
+
+
+@pytest.fixture(scope="module")
+def rng_module():
+    return np.random.default_rng(7)
+
+
+def test_torch_conversion_shapes(torch_encoder):
+    _, enc = torch_encoder
+    assert enc["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
+    assert enc["fc6"]["kernel"].shape == (7, 7, 512, 4096)
+    assert enc["fc7"]["kernel"].shape == (1, 1, 4096, 4096)
+
+
+def test_torch_conv_layout_oihw_to_hwio(torch_encoder):
+    sd, enc = torch_encoder
+    w = sd["features.0.weight"].numpy()  # (O, I, H, W)
+    np.testing.assert_array_equal(enc["conv1_1"]["kernel"][1, 2, :, :], w[:, :, 1, 2].T)
+
+
+def test_torch_fc6_convolutionalization_is_conv_equivalent(torch_encoder):
+    """The converted fc6 conv over a 7x7 input must equal the torch linear
+    layer applied to the (C, H, W)-flattened input — the FCN recipe."""
+    import torch
+
+    sd, enc = torch_encoder
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(7, 7, 512)).astype(np.float32)  # HWC
+    # torch linear on CHW flatten
+    linear_out = (
+        sd["classifier.0.weight"].numpy() @ x.transpose(2, 0, 1).reshape(-1)
+        + sd["classifier.0.bias"].numpy()
+    )
+    # our VALID 7x7 conv at the single position = tensordot over (H, W, I)
+    conv_out = np.tensordot(x, enc["fc6"]["kernel"], axes=([0, 1, 2], [0, 1, 2])) + enc["fc6"]["bias"]
+    # fp32 summation-order noise over 25088-term dot products
+    np.testing.assert_allclose(conv_out, linear_out, rtol=2e-3, atol=1e-3)
+
+
+def test_torch_fc7_layout(torch_encoder):
+    sd, enc = torch_encoder
+    np.testing.assert_array_equal(
+        enc["fc7"]["kernel"][0, 0], sd["classifier.3.weight"].numpy().T)
+
+
+def test_shape_validation_rejects_wrong_shapes():
+    with pytest.raises(ValueError, match="kernel shape"):
+        import_vgg16._as_encoder_tree(
+            {name: np.zeros((3, 3, 1, 1), np.float32) for name, _, _ in VGG16_CONV_LAYERS}
+            | {"fc6": np.zeros((1,)), "fc7": np.zeros((1,))},
+            {name: np.zeros((1,)) for name, _, _ in VGG16_CONV_LAYERS}
+            | {"fc6": np.zeros((1,)), "fc7": np.zeros((1,))},
+        )
+
+
+@pytest.mark.slow
+def test_tf_savedmodel_roundtrip(tmp_path, rng_module):
+    """Build a Udacity-format SavedModel with TF, convert, compare exactly,
+    then restore into FCN8s via vgg16_dir."""
+    tf = pytest.importorskip("tensorflow")
+    rng = rng_module
+    sm_dir = str(tmp_path / "vgg16_sm")
+    sources = {}
+    with tf.Graph().as_default():
+        with tf.compat.v1.Session() as sess:
+            for name, in_ch, out_ch in VGG16_CONV_LAYERS:
+                k = rng.normal(size=(3, 3, in_ch, out_ch)).astype(np.float32)
+                b = rng.normal(size=(out_ch,)).astype(np.float32)
+                tf.compat.v1.get_variable(f"{name}/filter", initializer=k)
+                tf.compat.v1.get_variable(f"{name}/biases", initializer=b)
+                sources[name] = (k, b)
+            for name, shape in [("fc6", (7, 7, 512, 4096)), ("fc7", (1, 1, 4096, 4096))]:
+                k = rng.normal(size=shape).astype(np.float32) * 0.01
+                b = rng.normal(size=(shape[-1],)).astype(np.float32)
+                tf.compat.v1.get_variable(f"{name}/weights", initializer=k)
+                tf.compat.v1.get_variable(f"{name}/biases", initializer=b)
+                sources[name] = (k, b)
+            sess.run(tf.compat.v1.global_variables_initializer())
+            builder = tf.compat.v1.saved_model.builder.SavedModelBuilder(sm_dir)
+            builder.add_meta_graph_and_variables(sess, ["vgg16"])
+            builder.save()
+
+    encoder = import_vgg16.from_tf_savedmodel(sm_dir, "vgg16")
+    for name, (k, b) in sources.items():
+        np.testing.assert_array_equal(encoder[name]["kernel"], k)
+        np.testing.assert_array_equal(encoder[name]["bias"], b)
+
+    out_dir = str(tmp_path / "converted")
+    import_vgg16.save_encoder(encoder, out_dir, "test")
+
+    import jax.numpy as jnp
+
+    from fcn8s_tensorflow_tpu.engine.model import FCN8s
+
+    model = FCN8s(num_classes=5, vgg16_dir=out_dir, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(model.state.params["encoder"]["conv3_3"]["kernel"]),
+        sources["conv3_3"][0],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(model.state.params["encoder"]["fc6"]["bias"]), sources["fc6"][1]
+    )
