@@ -72,8 +72,14 @@ def init_fcn8s_decoder(
     return params
 
 
-def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jnp.bfloat16):
-    """Decode (pool3, pool4, fc7) feature taps to full-resolution logits."""
+def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jnp.bfloat16,
+                        logits_dtype=jnp.float32):
+    """Decode (pool3, pool4, fc7) feature taps to full-resolution logits.
+
+    ``logits_dtype``: fp32 by default (loss/argmax heads want precision);
+    pass the compute dtype when the consumer handles fp32 internally (the
+    Pallas CE kernel does) — halves the traffic of the biggest tensor in the
+    model (full-res logits), measured ~4.5% off the whole train step."""
     p = params
 
     def score(name, x, scale=None):
@@ -95,7 +101,7 @@ def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jn
         p["fc7_pool4_pool3_deconv"]["bias"],
         strides=(8, 8),
     )
-    return x.astype(jnp.float32)
+    return x.astype(logits_dtype)
 
 
 def init_fcn8s(
@@ -132,8 +138,10 @@ def apply_fcn8s(
     deterministic: bool = True,
     compute_dtype=jnp.bfloat16,
     normalize: bool = True,
+    logits_dtype=jnp.float32,
 ):
-    """End-to-end forward: NHWC images -> (N, H, W, num_classes) fp32 logits.
+    """End-to-end forward: NHWC images -> (N, H, W, num_classes) logits
+    (fp32 by default; see ``apply_fcn8s_decoder``).
 
     The fully-convolutional property of the reference (`predict()` docstring,
     `fcn8s_tensorflow.py:748-756`) is preserved: any H, W divisible by 32
@@ -148,7 +156,10 @@ def apply_fcn8s(
         compute_dtype=compute_dtype,
         normalize=normalize,
     )
-    return apply_fcn8s_decoder(params["decoder"], pool3, pool4, fc7_out, compute_dtype=compute_dtype)
+    return apply_fcn8s_decoder(
+        params["decoder"], pool3, pool4, fc7_out,
+        compute_dtype=compute_dtype, logits_dtype=logits_dtype,
+    )
 
 
 def decoder_l2_loss(decoder_params: dict) -> jnp.ndarray:

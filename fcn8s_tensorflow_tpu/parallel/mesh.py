@@ -48,6 +48,17 @@ def batch_spec() -> P:
     return P(DATA_AXIS)
 
 
+def spatial_spec() -> P:
+    """Spatial partitioning (the sequence-parallelism analog for a CNN —
+    SURVEY.md §2): batch over 'data' AND the width dim over 'model'. XLA
+    GSPMD inserts the convolution halo exchanges over ICI automatically.
+    For mega-resolution inference where one chip can't hold the
+    activations. W must be divisible by 32 (the model's stride) as usual;
+    alignment of shard boundaries to the stride is not required (GSPMD
+    inserts the necessary halos/padding — validated for W=96 on 4 shards)."""
+    return P(DATA_AXIS, None, MODEL_AXIS)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, batch_spec())
 

@@ -97,6 +97,12 @@ def train_step(
         aug_rng, step_rng = jax.random.split(step_rng)
         images, label_ids = augment_fn(aug_rng, images, label_ids)
 
+    # Pallas CE (fwd kernel + narrow-XLA custom VJP) measured a 13% faster
+    # full train step on v5e (159.6 vs 183.2 ms @ 8x1024x512); keeping the
+    # logits in compute dtype for it (fp32 inside the kernel) saves another
+    # ~4.5% (152.9 ms) by halving the biggest tensor's HBM traffic.
+    use_pallas = _on_tpu() if use_pallas_ce is None else use_pallas_ce
+
     def loss_fn(params):
         logits = apply_fcn8s(
             params,
@@ -105,10 +111,8 @@ def train_step(
             rng=step_rng,
             deterministic=False,
             compute_dtype=compute_dtype,
+            logits_dtype=compute_dtype if use_pallas else jnp.float32,
         )
-        # Pallas CE (fwd kernel + narrow-XLA custom VJP) measured a 13%
-        # faster full train step on v5e (159.6 vs 183.2 ms @ 8x1024x512).
-        use_pallas = _on_tpu() if use_pallas_ce is None else use_pallas_ce
         if use_pallas:
             from ..ops.pallas_kernels import softmax_cross_entropy_pallas
 
@@ -248,10 +252,20 @@ def compile_eval_step(mesh, num_classes, *, tensor_parallel: bool = True, comput
 
 
 def compile_predict_step(mesh, *, argmax: bool = True, tensor_parallel: bool = True,
-                         compute_dtype=jnp.bfloat16, example_params=None):
-    from .mesh import batch_sharding, param_sharding_tree
+                         compute_dtype=jnp.bfloat16, example_params=None,
+                         spatial_partition: bool = False):
+    """``spatial_partition=True`` additionally shards the width dim over the
+    'model' axis (conv halo exchanges inserted by GSPMD) — for
+    mega-resolution inputs that don't fit one chip's HBM. Params must then
+    be replicated over 'model' (tensor_parallel is mutually exclusive)."""
+    from .mesh import batch_sharding, param_sharding_tree, spatial_spec
+    from jax.sharding import NamedSharding
 
-    data = batch_sharding(mesh)
+    if spatial_partition and tensor_parallel:
+        raise ValueError("spatial_partition and tensor_parallel are mutually exclusive")
+    data = (
+        NamedSharding(mesh, spatial_spec()) if spatial_partition else batch_sharding(mesh)
+    )
     p_shard = (
         param_sharding_tree(mesh, example_params, tensor_parallel=tensor_parallel)
         if example_params is not None

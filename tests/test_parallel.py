@@ -153,3 +153,33 @@ def test_lr_is_live_per_step(model_state, rng):
     d_small = float(jnp.abs(s_small.params["decoder"]["fc7_1x1"]["kernel"] - state.params["decoder"]["fc7_1x1"]["kernel"]).max())
     d_big = float(jnp.abs(s_big.params["decoder"]["fc7_1x1"]["kernel"] - state.params["decoder"]["fc7_1x1"]["kernel"]).max())
     assert d_big > d_small * 100
+
+
+def test_spatial_partitioning_matches_unsharded(model_state, rng):
+    """Width-sharded inference (conv halo exchange via GSPMD) must equal
+    the replicated result exactly."""
+    state, _ = model_state
+    mesh = create_mesh(data=2, model=4)
+    images = rng.integers(0, 255, size=(2, 32, 128, 3), dtype=np.uint8)  # W=128 = 32*4
+    sp = compile_predict_step(mesh, argmax=False, compute_dtype=jnp.float32,
+                              example_params=state.params, tensor_parallel=False,
+                              spatial_partition=True)
+    from jax.sharding import NamedSharding
+    from fcn8s_tensorflow_tpu.parallel.mesh import spatial_spec
+
+    im_sp = jax.device_put(images, NamedSharding(mesh, spatial_spec()))
+    probs_sp = np.asarray(sp(state.params, im_sp))
+
+    mesh1 = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+    plain = compile_predict_step(mesh1, argmax=False, compute_dtype=jnp.float32,
+                                 example_params=state.params, tensor_parallel=False)
+    probs = np.asarray(plain(state.params, shard_batch(mesh1, images)))
+    np.testing.assert_allclose(probs_sp, probs, rtol=2e-4, atol=2e-5)
+
+
+def test_spatial_and_tp_mutually_exclusive(model_state):
+    state, _ = model_state
+    mesh = create_mesh(data=2, model=4)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compile_predict_step(mesh, example_params=state.params,
+                             tensor_parallel=True, spatial_partition=True)
