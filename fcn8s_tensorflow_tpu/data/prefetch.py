@@ -67,11 +67,18 @@ class DevicePrefetcher:
         return item
 
     def close(self):
-        """Stop the worker. Safe to call multiple times."""
+        """Stop the worker and join it, so a successor prefetcher can safely
+        take over the underlying iterator. Safe to call multiple times."""
         self._stop.set()
-        # drain so the worker unblocks if it is waiting on a full queue
-        try:
-            while True:
-                self._queue.get_nowait()
-        except queue.Empty:
-            pass
+        # drain so the worker unblocks if it is waiting on a full queue;
+        # bounded wait (daemon thread — a source iterator blocked on IO
+        # cannot be interrupted, and must not hang the caller)
+        deadline = 50
+        while self._thread.is_alive() and deadline > 0:
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.1)
+            deadline -= 1

@@ -178,6 +178,19 @@ class FCN8s:
         self._summary_logger = None
 
     # ------------------------------------------------------------------
+    @classmethod
+    def resume(cls, save_dir: str, **kwargs) -> "FCN8s":
+        """Resume from the most recent checkpoint under ``save_dir`` (the
+        directory passed to ``train(save_dir=...)``). Restores params,
+        optimizer state, and the global step, so LR schedules continue
+        where they left off (the reference's manual recovery flow,
+        SURVEY.md §5, made one call)."""
+        path = ckpt.latest_checkpoint(save_dir)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoints under {save_dir}")
+        return cls(model_load_dir=path, **kwargs)
+
+    # ------------------------------------------------------------------
     def _load_vgg16(self, vgg16_dir: str) -> None:
         """Restore pretrained encoder weights into the param tree
         (reference `_load_vgg16`, `fcn8s_tensorflow.py:127-152` — there an
@@ -289,6 +302,7 @@ class FCN8s:
         summaries_name=None,
         training_loss_display_averaging=3,
         device_augment=None,
+        prefetch=2,
     ):
         """Train the model. Argument semantics follow the reference
         (`fcn8s_tensorflow.py:399-523`): the generator yields (images,
@@ -305,6 +319,13 @@ class FCN8s:
         'brightness': (0.8, 1.2, 0.5)}``) — augmentation runs *inside* the
         compiled step on device, overlapped with compute, instead of on the
         host like the reference's OpenCV pipeline.
+
+        ``prefetch`` (TPU-native extra): depth of the background
+        host->device input pipeline. The reference runs its generator
+        serially with the training step (SURVEY.md §3.2 — "a key
+        inefficiency"); here a worker thread decodes/augments/pads and
+        ``device_put``s ahead, overlapping H2D DMA with compute. ``0``
+        disables (synchronous, reference behavior).
         """
         # --- validation (reference `:511-529`) ---
         metrics = set(metrics)  # the reference's default `{}` is a dict literal
@@ -349,16 +370,17 @@ class FCN8s:
         learning_rate = learning_rate_schedule(g_step)
         loss_history = deque(maxlen=training_loss_display_averaging)
 
+        # Background input pipeline: host decode/pad + device_put ahead of
+        # the step, so H2D overlaps compute (see `prefetch` in the docstring).
+        train_stream = self._make_train_stream(train_generator, prefetch)
+
         for epoch in range(1, epochs + 1):
             tr = trange(steps_per_epoch, file=sys.stdout)
             tr.set_description(f"Epoch {epoch}/{epochs}")
 
             for _ in tr:
-                images, labels = next(train_generator)
-                label_ids = self._labels_to_ids(np.asarray(labels))
-                images, label_ids, mask = self._pad_batch_dim(np.asarray(images), label_ids)
-                step_fn = self._get_train_step(images.shape)
-                im_d, lb_d, mask_d = self._put_batch(images, label_ids, mask)
+                im_d, lb_d, mask_d = next(train_stream)
+                step_fn = self._get_train_step(im_d.shape)
                 self.state, loss = step_fn(
                     self.state, im_d, lb_d, mask_d, self._train_rng,
                     learning_rate, l2_regularization, keep_prob,
@@ -384,8 +406,10 @@ class FCN8s:
             # --- periodic evaluation (reference `:589-608`) ---
             if metrics and epoch % eval_frequency == 0:
                 if eval_dataset == "train":
+                    # share the (prefetched) training stream, like the
+                    # reference shares the raw iterator
                     self._evaluate(
-                        train_generator, metrics, steps_per_epoch,
+                        train_stream, metrics, steps_per_epoch,
                         description="Evaluation on training dataset",
                     )
                 else:
@@ -424,6 +448,46 @@ class FCN8s:
 
         if logger is not None:
             logger.flush()
+        self._close_train_stream()
+
+    def _make_train_stream(self, train_generator, prefetch: int):
+        """Iterator of device-resident (images, label_ids, mask) triples.
+
+        With ``prefetch > 0`` a background thread runs the host pipeline and
+        device_puts ahead (note: it reads up to ``prefetch`` batches beyond
+        the last consumed one from ``train_generator``). With 0, fully
+        synchronous (reference behavior)."""
+        self._close_train_stream()
+
+        def host_pipeline():
+            while True:
+                images, labels = next(train_generator)
+                label_ids = self._labels_to_ids(np.asarray(labels))
+                images_p, label_ids_p, mask = self._pad_batch_dim(
+                    np.ascontiguousarray(np.asarray(images)), label_ids
+                )
+                yield images_p, np.ascontiguousarray(label_ids_p), mask
+
+        if prefetch and prefetch > 0:
+            from ..data.prefetch import DevicePrefetcher
+
+            self._train_stream = DevicePrefetcher(
+                host_pipeline(), batch_sharding(self.mesh), depth=prefetch
+            )
+            return self._train_stream
+
+        def sync_stream():
+            for images, label_ids, mask in host_pipeline():
+                yield self._put_batch(images, label_ids, mask)
+
+        self._train_stream = None
+        return sync_stream()
+
+    def _close_train_stream(self) -> None:
+        stream = getattr(self, "_train_stream", None)
+        if stream is not None:
+            stream.close()
+            self._train_stream = None
 
     def _monitor_improved(self, monitor, metrics, epoch, eval_frequency) -> bool:
         """Documented save-best-only semantics: save iff the monitored value
@@ -459,11 +523,16 @@ class FCN8s:
         tr = trange(num_batches, file=sys.stdout)
         tr.set_description(description)
         for _ in tr:
-            images, labels = next(data_generator)
-            label_ids = self._labels_to_ids(np.asarray(labels))
-            images, label_ids, mask = self._pad_batch_dim(np.asarray(images), label_ids)
-            eval_fn = self._get_eval_step(images.shape)
-            im_d, lb_d, mask_d = self._put_batch(images, label_ids, mask)
+            item = next(data_generator)
+            if len(item) == 3 and not isinstance(item[0], np.ndarray):
+                # device-resident (images, label_ids, mask) from a train stream
+                im_d, lb_d, mask_d = item
+            else:
+                images, labels = item
+                label_ids = self._labels_to_ids(np.asarray(labels))
+                images, label_ids, mask = self._pad_batch_dim(np.asarray(images), label_ids)
+                im_d, lb_d, mask_d = self._put_batch(images, label_ids, mask)
+            eval_fn = self._get_eval_step(im_d.shape)
             metrics_state = eval_fn(self.state.params, metrics_state, im_d, lb_d, mask_d)
 
         final = finalize_metrics(metrics_state)
@@ -612,8 +681,9 @@ class FCN8s:
 
     def close(self):
         """Release resources (the reference closes its tf.Session,
-        `fcn8s_tensorflow.py:946-951`; here: flush/close summary writers —
-        device buffers are GC-managed)."""
+        `fcn8s_tensorflow.py:946-951`; here: stop the prefetch worker and
+        flush/close summary writers — device buffers are GC-managed)."""
+        self._close_train_stream()
         if self._summary_logger is not None:
             self._summary_logger.close()
             self._summary_logger = None

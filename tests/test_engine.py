@@ -220,3 +220,37 @@ def test_close_is_safe(trained_model, capsys):
     model, _, _ = trained_model
     model.close()
     assert "closed" in capsys.readouterr().out
+
+
+def test_resume_from_latest(trained_model, tmp_path):
+    model, images, _ = trained_model
+    model.variables_updated = True
+    model.save(str(tmp_path / "r"), force_save=True)
+    resumed = FCN8s.resume(str(tmp_path / "r"), compute_dtype=jnp.float32)
+    assert int(resumed.state.step) == int(model.state.step)
+    np.testing.assert_array_equal(resumed.predict(images), model.predict(images))
+    with pytest.raises(FileNotFoundError):
+        FCN8s.resume(str(tmp_path / "nothing"))
+
+
+def test_train_without_prefetch(trained_model):
+    """prefetch=0: fully synchronous input path (reference behavior)."""
+    model, images, labels = trained_model
+    gen = _repeat_batches(images, labels)
+    before = int(model.state.step)
+    model.train(gen, epochs=1, steps_per_epoch=3,
+                learning_rate_schedule=constant(1e-4), record_summaries=False,
+                prefetch=0)
+    assert int(model.state.step) == before + 3
+
+
+def test_prefetch_stream_shared_with_eval(trained_model):
+    """eval_dataset='train' consumes the same prefetched stream."""
+    model, images, labels = trained_model
+    gen = _repeat_batches(images, labels)
+    model.train(gen, epochs=1, steps_per_epoch=2,
+                learning_rate_schedule=constant(1e-4), record_summaries=False,
+                metrics={"accuracy"}, eval_frequency=1, eval_dataset="train",
+                prefetch=2)
+    assert model.metric_names == ["accuracy"]
+    assert 0.0 <= model.metric_values[0] <= 1.0
