@@ -156,10 +156,15 @@ class FCN8s:
                 params=restored["params"],
                 opt_state=restored["opt_state"],
             )
-        elif variables_load_dir is not None:
-            self.load_variables(variables_load_dir)
-        elif vgg16_dir is not None:
-            self._load_vgg16(vgg16_dir)
+        else:
+            # Fresh build: pretrained encoder first, then (optionally) a
+            # variables restore on top — the reference's ordering
+            # (`fcn8s_tensorflow.py:103-125`: build from VGG-16, then
+            # `tf.train.Saver().restore` if variables_load_dir is given).
+            if vgg16_dir is not None:
+                self._load_vgg16(vgg16_dir)
+            if variables_load_dir is not None:
+                self.load_variables(variables_load_dir)
 
         # Bookkeeping mirroring the reference (`fcn8s_tensorflow.py:52-62`).
         self.variables_updated = False
