@@ -16,10 +16,18 @@ from .labels import NUM_TRAIN_CLASSES  # noqa: F401
 
 
 def __getattr__(name):
-    # Lazy facade import: keeps `import fcn8s_tensorflow_tpu.labels` cheap
-    # (no jax/engine import) for data-prep-only use.
+    # Lazy imports: keep `import fcn8s_tensorflow_tpu.labels` cheap (no
+    # jax/engine import) for data-prep-only use.
     if name == "FCN8s":
         from .engine.model import FCN8s
 
         return FCN8s
+    if name == "BatchGenerator":
+        from .data.generator import BatchGenerator
+
+        return BatchGenerator
+    if name == "DataError":
+        from .data.generator import DataError
+
+        return DataError
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,66 @@
+"""Headless viewer/gallery tests."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fcn8s_tensorflow_tpu.viz.viewer import (
+    build_gallery,
+    contact_sheet,
+    render_panel,
+    view_cityscapes_split,
+)
+
+CMAP = {0: (0, 0, 0, 0), 1: (255, 0, 0, 127)}
+
+
+def test_render_panel_widths(rng):
+    img = rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)
+    gt = rng.integers(0, 2, (16, 24), dtype=np.uint8)
+    assert render_panel(img, color_map=CMAP).shape == (16, 24, 3)
+    assert render_panel(img, gt, color_map=CMAP).shape == (16, 48, 3)
+    assert render_panel(img, gt, gt, color_map=CMAP).shape == (16, 72, 3)
+
+
+def test_contact_sheet_grid(rng):
+    panels = [rng.integers(0, 255, (10, 20, 3), dtype=np.uint8) for _ in range(5)]
+    sheet = contact_sheet(panels, columns=2, pad=2)
+    assert sheet.shape == (3 * 12 - 2, 2 * 22 - 2, 3)
+    with pytest.raises(ValueError):
+        contact_sheet([])
+
+
+def test_build_gallery(tmp_path, rng):
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"img_{i}.png")
+        Image.fromarray(rng.integers(0, 255, (12, 16, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    gt = rng.integers(0, 2, (12, 16), dtype=np.uint8)
+    index = build_gallery(str(tmp_path / "g"), paths, gt_loader=lambda p: gt,
+                          color_map=CMAP, title="t<est>")  # html-escape probe
+    assert os.path.isfile(index)
+    html = open(index).read()
+    assert "t&lt;est&gt;" in html
+    assert html.count("<figure>") == 3
+    assert os.path.isfile(str(tmp_path / "g" / "img_0_panel.png"))
+
+
+def test_view_cityscapes_split(tmp_path, rng):
+    img_dir = tmp_path / "leftImg8bit" / "val" / "c"
+    gt_dir = tmp_path / "gtFine" / "val" / "c"
+    img_dir.mkdir(parents=True), gt_dir.mkdir(parents=True)
+    for i in range(2):
+        stem = f"c_{i:06d}_000019"
+        Image.fromarray(rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)).save(
+            img_dir / f"{stem}_leftImg8bit.png")
+        Image.fromarray(rng.integers(0, 34, (16, 24), dtype=np.uint8)).save(
+            gt_dir / f"{stem}_gtFine_labelIds.png")  # labelIds fallback path
+    index = view_cityscapes_split(str(tmp_path), "val", str(tmp_path / "out"), max_images=2)
+    assert os.path.isfile(index)
+    panel = np.asarray(Image.open(tmp_path / "out" / "c_000000_000019_leftImg8bit_panel.png"))
+    assert panel.shape == (16, 48, 3)  # image + GT overlay
+    with pytest.raises(ValueError, match="no images"):
+        view_cityscapes_split(str(tmp_path), "train", str(tmp_path / "out2"))
