@@ -98,6 +98,7 @@ class FCN8s:
         fc_channels=None,
         bilinear_deconv_init=False,
         seed=0,
+        remat=False,
     ):
         if model_load_dir is None and num_classes is None:
             raise ValueError(
@@ -111,6 +112,7 @@ class FCN8s:
         self.mesh = mesh if mesh is not None else create_mesh()
         self.tensor_parallel = tensor_parallel
         self.compute_dtype = compute_dtype
+        self.remat = remat  # jax.checkpoint on encoder blocks (big batch/res)
 
         if model_load_dir is not None:
             meta = ckpt.load_metadata(model_load_dir)
@@ -220,6 +222,7 @@ class FCN8s:
                 compute_dtype=self.compute_dtype,
                 example_state=self.state,
                 augment_fn=getattr(self, "_augment_fn", None),
+                remat=self.remat,
             )
         return self._train_steps[batch_shape]
 

@@ -139,6 +139,7 @@ def apply_fcn8s(
     compute_dtype=jnp.bfloat16,
     normalize: bool = True,
     logits_dtype=jnp.float32,
+    remat: bool = False,
 ):
     """End-to-end forward: NHWC images -> (N, H, W, num_classes) logits
     (fp32 by default; see ``apply_fcn8s_decoder``).
@@ -155,6 +156,7 @@ def apply_fcn8s(
         deterministic=deterministic,
         compute_dtype=compute_dtype,
         normalize=normalize,
+        remat=remat,
     )
     return apply_fcn8s_decoder(
         params["decoder"], pool3, pool4, fc7_out,

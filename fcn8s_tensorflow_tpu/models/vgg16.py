@@ -23,6 +23,8 @@ Functional style: ``init_vgg16`` builds a nested param dict (pure pytree),
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -89,11 +91,17 @@ def apply_vgg16(
     deterministic: bool = True,
     compute_dtype=jnp.bfloat16,
     normalize: bool = True,
+    remat: bool = False,
 ):
     """Run the encoder. ``images`` is NHWC, float or uint8 in [0, 255].
 
     Returns ``(pool3, pool4, fc7_out)`` at strides 8/16/32, all in
     ``compute_dtype``. H and W must be divisible by 32 (the facade pads).
+
+    ``remat=True`` wraps each conv block in ``jax.checkpoint``: the backward
+    pass recomputes block activations instead of storing them, trading
+    ~30% more encoder FLOPs for a large cut in activation HBM — use it to
+    fit bigger batches or full 1024x2048 Cityscapes resolution.
     """
     x = images.astype(jnp.float32)
     if normalize:
@@ -104,20 +112,35 @@ def apply_vgg16(
         raise ValueError("apply_vgg16: rng is required when deterministic=False")
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
 
-    pool3 = pool4 = None
+    # conv blocks, grouped so remat checkpoints at block boundaries
+    blocks: list[list] = [[]]
     for name, _, _ in VGG16_CONV_LAYERS:
-        layer = params[name]
-        x = jax.nn.relu(conv2d(x, layer["kernel"], layer["bias"]))
+        blocks[-1].append(name)
         if name in _BLOCK_ENDS:
-            x = max_pool_2x2(x)
-            if name == "conv3_3":
-                pool3 = x
-            elif name == "conv4_3":
-                pool4 = x
+            blocks.append([])
+    blocks = [b for b in blocks if b]
 
-    x = jax.nn.relu(conv2d(x, params["fc6"]["kernel"], params["fc6"]["bias"]))
-    x = dropout(x, rngs[0], keep_prob, deterministic=deterministic)
-    x = jax.nn.relu(conv2d(x, params["fc7"]["kernel"], params["fc7"]["bias"]))
-    x = dropout(x, rngs[1], keep_prob, deterministic=deterministic)
+    def run_block(block_names, x, block_params):
+        for name in block_names:
+            layer = block_params[name]
+            x = jax.nn.relu(conv2d(x, layer["kernel"], layer["bias"]))
+        return max_pool_2x2(x)
 
+    pool3 = pool4 = None
+    for block_names in blocks:
+        fn = jax.checkpoint(partial(run_block, block_names)) if remat else partial(run_block, block_names)
+        x = fn(x, {n: params[n] for n in block_names})
+        if block_names[-1] == "conv3_3":
+            pool3 = x
+        elif block_names[-1] == "conv4_3":
+            pool4 = x
+
+    def run_head(x, fc6, fc7):
+        x = jax.nn.relu(conv2d(x, fc6["kernel"], fc6["bias"]))
+        x = dropout(x, rngs[0], keep_prob, deterministic=deterministic)
+        x = jax.nn.relu(conv2d(x, fc7["kernel"], fc7["bias"]))
+        return dropout(x, rngs[1], keep_prob, deterministic=deterministic)
+
+    head = jax.checkpoint(run_head) if remat else run_head
+    x = head(x, params["fc6"], params["fc7"])
     return pool3, pool4, x

@@ -77,6 +77,7 @@ def train_step(
     compute_dtype=jnp.bfloat16,
     augment_fn=None,
     use_pallas_ce: bool | None = None,
+    remat: bool = False,
 ):
     """One optimization step. ``images`` NHWC uint8, ``label_ids`` NHW uint8,
     ``sample_mask`` (N,) float 0/1 — zeros mark batch-padding samples added
@@ -112,6 +113,7 @@ def train_step(
             deterministic=False,
             compute_dtype=compute_dtype,
             logits_dtype=compute_dtype if use_pallas else jnp.float32,
+            remat=remat,
         )
         if use_pallas:
             from ..ops.pallas_kernels import softmax_cross_entropy_pallas
@@ -176,7 +178,7 @@ def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloa
 
 def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = True,
                        compute_dtype=jnp.bfloat16, example_state=None, donate: bool = True,
-                       augment_fn=None):
+                       augment_fn=None, remat: bool = False):
     """jit the train step with mesh shardings: batch over 'data', params per
     the TP rules, carried state donated (in-place update, halves HBM)."""
     from .mesh import batch_sharding, param_sharding_tree, replicated
@@ -199,7 +201,7 @@ def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = 
         state_shardings = None
 
     fn = partial(train_step, optimizer=optimizer, num_classes=num_classes,
-                 compute_dtype=compute_dtype, augment_fn=augment_fn)
+                 compute_dtype=compute_dtype, augment_fn=augment_fn, remat=remat)
     return jax.jit(
         fn,
         in_shardings=(state_shardings, data, data, data, rep, rep, rep, rep),
