@@ -1,0 +1,49 @@
+"""Profiling utilities tests."""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcn8s_tensorflow_tpu.utils.profiling import StepTimer, annotate, hard_sync, trace
+
+
+def test_step_timer_percentiles():
+    timer = StepTimer(warmup=2)
+    for i in range(7):
+        with timer.step():
+            time.sleep(0.01 if i < 5 else 0.03)
+    s = timer.summary()
+    assert s["steps"] == 5  # warmup excluded
+    assert s["p50_ms"] >= 8
+    assert s["max_ms"] >= s["p50_ms"]
+
+
+def test_step_timer_empty():
+    assert StepTimer().summary() == {"steps": 0}
+
+
+def test_step_timer_sync_on():
+    timer = StepTimer(warmup=0)
+    x = jnp.ones((128, 128))
+    with timer.step():
+        y = x @ x
+        timer.sync_on(y)
+    assert timer.summary()["steps"] == 1
+
+
+def test_hard_sync_accepts_pytrees():
+    tree = {"a": jnp.ones((4, 4)), "b": [jnp.zeros(3), np.ones(2)]}
+    hard_sync(tree)  # must not raise
+
+
+def test_annotate_and_trace(tmp_path):
+    with annotate("test-span"):
+        pass
+    with trace(str(tmp_path)):
+        jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    # some trace artifact should exist (plugins/... on CPU backend)
+    found = any(files for _, _, files in os.walk(tmp_path))
+    assert found
