@@ -237,15 +237,16 @@ class FCN8s:
             )
         return self._eval_steps[batch_shape]
 
-    def _get_predict_step(self, batch_shape, argmax):
-        key = (batch_shape, argmax)
+    def _get_predict_step(self, batch_shape, argmax, spatial_partition=False):
+        key = (batch_shape, argmax, spatial_partition)
         if key not in self._predict_steps:
             self._predict_steps[key] = compile_predict_step(
                 self.mesh,
                 argmax=argmax,
-                tensor_parallel=self.tensor_parallel,
+                tensor_parallel=self.tensor_parallel and not spatial_partition,
                 compute_dtype=self.compute_dtype,
                 example_params=self.state.params,
+                spatial_partition=spatial_partition,
             )
         return self._predict_steps[key]
 
@@ -565,11 +566,16 @@ class FCN8s:
         return self._evaluate(data_generator, metrics, num_batches)
 
     # ------------------------------------------------------------------
-    def predict(self, images, argmax=True):
+    def predict(self, images, argmax=True, spatial_partition=False):
         """Predict segmentations. ``images``: list/array (N,H,W,3), any H,W
         (padded to stride-32 internally, output cropped back — the reference
         relied on TF dynamic shapes, `fcn8s_tensorflow.py:743-770`).
-        Returns (N,H,W) int argmax ids, or (N,H,W,C) softmax if ``argmax=False``."""
+        Returns (N,H,W) int argmax ids, or (N,H,W,C) softmax if ``argmax=False``.
+
+        ``spatial_partition=True`` additionally shards the width dim over the
+        mesh's 'model' axis (exact — GSPMD conv halo exchange) for
+        mega-resolution inputs that exceed one chip's HBM; requires a mesh
+        with a >1 'model' axis."""
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
@@ -578,8 +584,18 @@ class FCN8s:
         if ph or pw:
             images = np.pad(images, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="constant")
         images, _ = self._pad_batch_dim(images)
-        fn = self._get_predict_step(images.shape, argmax)
-        out = np.asarray(fn(self.state.params, self._put_batch(images)))
+        fn = self._get_predict_step(images.shape, argmax, spatial_partition)
+        if spatial_partition:
+            from jax.sharding import NamedSharding
+
+            from ..parallel.mesh import spatial_spec
+
+            im_d = jax.device_put(
+                np.ascontiguousarray(images), NamedSharding(self.mesh, spatial_spec())
+            )
+        else:
+            im_d = self._put_batch(images)
+        out = np.asarray(fn(self.state.params, im_d))
         return out[:n, :h, :w]
 
     def predict_and_save(

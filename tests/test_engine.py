@@ -254,3 +254,17 @@ def test_prefetch_stream_shared_with_eval(trained_model):
                 prefetch=2)
     assert model.metric_names == ["accuracy"]
     assert 0.0 <= model.metric_values[0] <= 1.0
+
+
+def test_predict_spatial_partition_matches_default():
+    """Facade-level spatial partitioning: exact vs the default path."""
+    import jax
+
+    from fcn8s_tensorflow_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=2, model=4)
+    model = FCN8s(num_classes=NUM_CLASSES, mesh=mesh, **TINY)
+    images, _ = _toy_batch()
+    a = model.predict(images)
+    b = model.predict(images, spatial_partition=True)
+    np.testing.assert_array_equal(a, b)
