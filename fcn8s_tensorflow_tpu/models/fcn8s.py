@@ -74,7 +74,8 @@ def init_fcn8s_decoder(
 
 
 def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jnp.bfloat16,
-                        logits_dtype=jnp.float32, subpixel: bool = True):
+                        logits_dtype=jnp.float32, subpixel: bool = True,
+                        packed_final: bool = False):
     """Decode (pool3, pool4, fc7) feature taps to full-resolution logits.
 
     ``logits_dtype``: fp32 by default (loss/argmax heads want precision);
@@ -85,7 +86,12 @@ def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jn
     ``subpixel``: compute the transposed convs as stride-1 3x3 convs at low
     resolution + depth-to-space (exact rewrite, ops/subpixel.py) — a better
     MXU shape for the 20-channel deconvs, measured 37% faster decoder
-    backward on v5e. ``False`` uses the input-dilated XLA lowering."""
+    backward on v5e. ``False`` uses the input-dilated XLA lowering.
+
+    ``packed_final``: return the final deconv in packed subpixel layout
+    (n, H/8, W/8, 8, 8, C) — for pixel-order-invariant consumers (the CE
+    loss; pair with ``ops.subpixel.space_to_depth_labels``), skipping the
+    full-resolution depth-to-space transpose in fwd AND bwd."""
     p = params
 
     def score(name, x, scale=None):
@@ -93,10 +99,10 @@ def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jn
             x = x * jnp.asarray(scale, x.dtype)
         return conv2d(x, p[name]["kernel"], p[name]["bias"])
 
-    def deconv(x, name, stride):
-        if subpixel:
+    def deconv(x, name, stride, packed=False):
+        if subpixel or packed:
             return conv2d_transpose_subpixel(
-                x, p[name]["kernel"], p[name]["bias"], stride=stride
+                x, p[name]["kernel"], p[name]["bias"], stride=stride, packed=packed
             )
         return conv2d_transpose(
             x, p[name]["kernel"], p[name]["bias"], strides=(stride, stride)
@@ -108,7 +114,7 @@ def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jn
 
     x = deconv(fc7_score, "fc7_deconv", 2) + pool4_score
     x = deconv(x, "fc7_pool4_deconv", 2) + pool3_score
-    x = deconv(x, "fc7_pool4_pool3_deconv", 8)
+    x = deconv(x, "fc7_pool4_pool3_deconv", 8, packed=packed_final)
     return x.astype(logits_dtype)
 
 
@@ -148,9 +154,10 @@ def apply_fcn8s(
     normalize: bool = True,
     logits_dtype=jnp.float32,
     remat: bool = False,
+    packed_final: bool = False,
 ):
     """End-to-end forward: NHWC images -> (N, H, W, num_classes) logits
-    (fp32 by default; see ``apply_fcn8s_decoder``).
+    (fp32 by default; see ``apply_fcn8s_decoder``, incl. ``packed_final``).
 
     The fully-convolutional property of the reference (`predict()` docstring,
     `fcn8s_tensorflow.py:748-756`) is preserved: any H, W divisible by 32
@@ -169,6 +176,7 @@ def apply_fcn8s(
     return apply_fcn8s_decoder(
         params["decoder"], pool3, pool4, fc7_out,
         compute_dtype=compute_dtype, logits_dtype=logits_dtype,
+        packed_final=packed_final,
     )
 
 

@@ -62,21 +62,38 @@ def _subpixel_kernel(kernel: np.ndarray | jnp.ndarray, s: int):
     return new.reshape(3, 3, in_ch, s * s * out_ch)
 
 
-def conv2d_transpose_subpixel(x, kernel, bias=None, *, stride: int):
+def conv2d_transpose_subpixel(x, kernel, bias=None, *, stride: int, packed: bool = False):
     """Drop-in for ``ops.nn.conv2d_transpose`` when kernel = 2*stride
-    (all FCN-8s deconvs): stride-1 conv at low res + depth-to-space."""
+    (all FCN-8s deconvs): stride-1 conv at low res + depth-to-space.
+
+    ``packed=True`` skips the depth-to-space and returns
+    ``(n, h, w, s, s, out_ch)`` — output pixel ``(s*y+py, s*x+px)`` lives at
+    ``[n, y, x, py, px]``. For pixel-order-invariant consumers (the CE loss)
+    this removes a 2x full-resolution transpose from fwd+bwd; pair with
+    ``space_to_depth_labels`` on the targets."""
     s = stride
     n, h, w, _ = x.shape
     out_ch = kernel.shape[3]
-    packed = lax.conv_general_dilated(
+    conv_out = lax.conv_general_dilated(
         x,
         _subpixel_kernel(kernel, s).astype(x.dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=DIMENSION_NUMBERS,
     )  # (n, h, w, s*s*out_ch)
-    out = packed.reshape(n, h, w, s, s, out_ch)
-    out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(n, h * s, w * s, out_ch)
+    out = conv_out.reshape(n, h, w, s, s, out_ch)
     if bias is not None:
         out = out + bias.astype(out.dtype)
-    return out
+    if packed:
+        return out
+    return jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(n, h * s, w * s, out_ch)
+
+
+def space_to_depth_labels(labels, s: int):
+    """Rearrange (N, H, W) targets into the packed layout of
+    ``conv2d_transpose_subpixel(packed=True)``: (N, H/s, W/s, s, s) with
+    ``out[n, y, x, py, px] == labels[n, s*y+py, s*x+px]``. A cheap uint8
+    permutation vs a full-resolution float transpose on the logits."""
+    n, h_full, w_full = labels.shape
+    h, w = h_full // s, w_full // s
+    return labels.reshape(n, h, s, w, s).transpose(0, 1, 3, 2, 4)

@@ -114,6 +114,11 @@ def train_step(
             compute_dtype=compute_dtype,
             logits_dtype=compute_dtype if use_pallas else jnp.float32,
             remat=remat,
+            # NOTE: packed_final (skip the final depth-to-space, space-to-depth
+            # the labels instead) measured 14% SLOWER in-process A/B on v5e
+            # (145.4 vs 127.9 ms) — XLA already fuses the depth-to-space, and
+            # the packed flatten degrades the CE kernel's access pattern. The
+            # capability stays available on apply_fcn8s for other consumers.
         )
         if use_pallas:
             from ..ops.pallas_kernels import softmax_cross_entropy_pallas

@@ -51,3 +51,38 @@ def test_decoder_subpixel_vs_dilated(rng):
     a = apply_fcn8s_decoder(dec, p3, p4, f7, compute_dtype=jnp.float32, subpixel=True)
     b = apply_fcn8s_decoder(dec, p3, p4, f7, compute_dtype=jnp.float32, subpixel=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_space_to_depth_labels(rng):
+    from fcn8s_tensorflow_tpu.ops.subpixel import space_to_depth_labels
+
+    labels = rng.integers(0, 20, (2, 16, 24), dtype=np.uint8)
+    packed = np.asarray(space_to_depth_labels(jnp.asarray(labels), 8))
+    assert packed.shape == (2, 2, 3, 8, 8)
+    for y, x, py, px in [(0, 0, 0, 0), (1, 2, 3, 5), (0, 1, 7, 7)]:
+        assert packed[1, y, x, py, px] == labels[1, 8 * y + py, 8 * x + px]
+
+
+def test_packed_final_loss_equals_unpacked(rng):
+    """CE over packed logits + packed labels == CE over the unpacked pair."""
+    from fcn8s_tensorflow_tpu.models.fcn8s import apply_fcn8s, init_fcn8s
+    from fcn8s_tensorflow_tpu.ops.losses import mean_softmax_cross_entropy
+    from fcn8s_tensorflow_tpu.ops.subpixel import space_to_depth_labels
+
+    params = init_fcn8s(jax.random.PRNGKey(0), 4, width_mult=1 / 32, fc_channels=32)
+    images = jnp.asarray(rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 4, (1, 32, 32), dtype=np.uint8))
+
+    flat = apply_fcn8s(params, images, compute_dtype=jnp.float32)
+    packed = apply_fcn8s(params, images, compute_dtype=jnp.float32, packed_final=True)
+    assert packed.shape == (1, 4, 4, 8, 8, 4)
+
+    loss_flat = mean_softmax_cross_entropy(flat, labels)
+    packed_labels = space_to_depth_labels(labels, 8)
+    loss_packed = mean_softmax_cross_entropy(
+        packed.reshape(-1, 4), packed_labels.reshape(-1))
+    np.testing.assert_allclose(float(loss_packed), float(loss_flat), rtol=1e-5)
+
+    # and the packed logits ARE the flat logits, permuted
+    repacked = np.asarray(packed).transpose(0, 1, 3, 2, 4, 5).reshape(1, 32, 32, 4)
+    np.testing.assert_allclose(repacked, np.asarray(flat), atol=1e-5)
