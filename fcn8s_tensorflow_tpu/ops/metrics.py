@@ -9,12 +9,20 @@ the collective).
 
 The confusion matrix is computed as a one-hot matmul ``G^T @ P`` — the
 MXU-shaped formulation of a 2-D histogram (a scatter-add would serialize on
-TPU). fp32 accumulation is exact up to 2^24 counts per cell per update; the
-running accumulator is float64-on-host / float32-on-device, which at one
-Cityscapes epoch (~3e9 pixels spread over 400 cells) stays exact because each
-*update* is small and the running sum is promoted to fp32 integers well below
-2^24 per step — for eval-scale runs this is exact; offline benchmark eval
-uses the uint64 C++ kernel.
+TPU). Each per-batch dot accumulates in fp32, which is exact because one
+update's per-cell count is bounded by the batch pixel count (≤ ~4.2e6 at
+batch 8 × 1024×512, far below 2^24). The *running* accumulator is int32:
+each update's fp32 result is cast to int32 before adding, so streaming
+counts are bit-exact up to 2^31−1 per cell (~2.1e9 — several full
+Cityscapes val epochs in the dominant class; overflow would need >4,000
+all-one-class 1024×512 images in a single un-reset stream). Offline
+benchmark eval uses the uint64 C++ kernel and has no such bound.
+
+Pixel accuracy is derived from the matrix at finalize time (trace / sum),
+which keeps it exactly consistent with the matrix and equally exact. This
+assumes all GT ids lie in [0, num_classes) — true for both trainId schemes
+(the reference trains on void as class 0 with no ignore masking,
+`/root/reference/fcn8s_tensorflow.py:253`).
 """
 
 from __future__ import annotations
@@ -28,9 +36,7 @@ def empty_metrics_state(num_classes: int) -> dict:
     return {
         "loss_sum": jnp.zeros((), jnp.float32),
         "loss_count": jnp.zeros((), jnp.float32),
-        "conf_matrix": jnp.zeros((num_classes, num_classes), jnp.float32),
-        "correct": jnp.zeros((), jnp.float32),
-        "total": jnp.zeros((), jnp.float32),
+        "conf_matrix": jnp.zeros((num_classes, num_classes), jnp.int32),
     }
 
 
@@ -57,22 +63,14 @@ def update_metrics_state(
 ) -> dict:
     """One batch's worth of accumulation (the reference's
     ``metric_update_ops``, `fcn8s_tensorflow.py:284-301`). ``sample_mask``
-    (N,) of 0/1 excludes batch-padding samples exactly."""
-    if sample_mask is None:
-        n_px = jnp.asarray(pred_ids.size, jnp.float32)
-        correct = jnp.sum((pred_ids == gt_ids).astype(jnp.float32))
-    else:
-        px_per_sample = pred_ids.size // pred_ids.shape[0]
-        n_px = jnp.sum(sample_mask) * px_per_sample
-        mask = sample_mask.reshape(sample_mask.shape + (1,) * (pred_ids.ndim - 1))
-        correct = jnp.sum((pred_ids == gt_ids).astype(jnp.float32) * mask)
+    (N,) of 0/1 excludes batch-padding samples exactly. The per-batch fp32
+    dot is exact (counts < 2^24) and is cast to int32 before adding, so the
+    running matrix is bit-exact integer counts."""
+    batch_counts = confusion_matrix(pred_ids, gt_ids, num_classes, sample_mask)
     return {
         "loss_sum": state["loss_sum"] + loss.astype(jnp.float32),
         "loss_count": state["loss_count"] + 1.0,
-        "conf_matrix": state["conf_matrix"]
-        + confusion_matrix(pred_ids, gt_ids, num_classes, sample_mask),
-        "correct": state["correct"] + correct,
-        "total": state["total"] + n_px,
+        "conf_matrix": state["conf_matrix"] + batch_counts.astype(jnp.int32),
     }
 
 
@@ -90,9 +88,13 @@ def mean_iou_from_confusion(conf_matrix):
 
 
 def finalize_metrics(state: dict) -> dict:
-    """Resolve accumulators to {'loss', 'mean_iou', 'accuracy'} scalars."""
+    """Resolve accumulators to {'loss', 'mean_iou', 'accuracy'} scalars.
+    Accuracy = trace/sum of the integer confusion matrix — exactly
+    consistent with mean-IoU (all GT ids lie in [0, num_classes), see
+    module docstring)."""
+    conf = state["conf_matrix"].astype(jnp.float32)
     return {
         "loss": state["loss_sum"] / jnp.maximum(state["loss_count"], 1.0),
         "mean_iou": mean_iou_from_confusion(state["conf_matrix"]),
-        "accuracy": state["correct"] / jnp.maximum(state["total"], 1.0),
+        "accuracy": jnp.trace(conf) / jnp.maximum(conf.sum(), 1.0),
     }

@@ -86,7 +86,26 @@ def test_streaming_accumulation(rng):
     out = finalize_metrics(state)
     np.testing.assert_allclose(float(out["loss"]), np.mean(losses), rtol=1e-5)
     np.testing.assert_allclose(float(out["accuracy"]), total_correct / total_px, rtol=1e-6)
-    assert float(state["total"]) == total_px
+    assert int(np.asarray(state["conf_matrix"]).sum()) == total_px
+
+
+def test_streaming_confusion_exact_past_2_24():
+    """Integer accumulation stays bit-exact past 2^24 counts per cell —
+    where a float32 running sum starts silently quantizing (VERDICT r1 #4).
+    Each update adds an ODD 4,194,305 to cell (0,0); the 5th addition lands
+    on an odd value above 2^24, unrepresentable in fp32."""
+    C = 4
+    per_update = 4_194_305  # odd, and < 2^24 so the per-batch fp32 dot is exact
+    gt = jnp.zeros((1, 1, per_update), jnp.int32)
+    pred = jnp.zeros((1, 1, per_update), jnp.int32)
+    state = empty_metrics_state(C)
+    for _ in range(5):
+        state = update_metrics_state(
+            state, loss=jnp.asarray(0.0), pred_ids=pred, gt_ids=gt, num_classes=C
+        )
+    cell = int(np.asarray(state["conf_matrix"])[0, 0])
+    assert cell == 5 * per_update  # 20,971,525 — odd and > 2^24
+    assert np.issubdtype(np.asarray(state["conf_matrix"]).dtype, np.integer)
 
 
 def test_perfect_prediction_metrics(rng):

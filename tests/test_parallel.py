@@ -119,7 +119,7 @@ def test_eval_step_accumulates(model_state, rng):
         im, lb, mk = shard_batch(mesh, images, labels, mask)
         mstate = evalf(state.params, mstate, im, lb, mk)
     out = finalize_metrics(mstate)
-    assert float(mstate["total"]) == 2 * 8 * HW[0] * HW[1]
+    assert int(np.asarray(mstate["conf_matrix"]).sum()) == 2 * 8 * HW[0] * HW[1]
     assert 0.0 <= float(out["accuracy"]) <= 1.0
     assert np.isfinite(float(out["loss"]))
 
