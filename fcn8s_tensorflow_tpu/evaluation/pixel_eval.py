@@ -282,9 +282,14 @@ def evaluate_pair(prediction_file, ground_truth_file, conf_matrix, inst_stats,
         lut[not_ignored] = True
         not_ignored_px = lut[ground_truth]
         erroneous = not_ignored_px & (prediction != ground_truth)
+        n_not_ignored = int(np.count_nonzero(not_ignored_px))
+        # Divergence from the reference (documented in README): the
+        # reference stores the ERRONEOUS count under "nbCorrectPixels"
+        # (`evalPixelLevelSemanticLabeling.py:637-643`, compounding its
+        # inverted-mask bug). We store actual correct pixels.
         per_image_stats[prediction_file] = {
-            "nbNotIgnoredPixels": int(np.count_nonzero(not_ignored_px)),
-            "nbCorrectPixels": int(np.count_nonzero(erroneous)),
+            "nbNotIgnoredPixels": n_not_ignored,
+            "nbCorrectPixels": n_not_ignored - int(np.count_nonzero(erroneous)),
         }
 
     return prediction.shape[0] * prediction.shape[1]

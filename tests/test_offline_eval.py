@@ -189,4 +189,6 @@ def test_eval_pixel_accuracy_stats(synthetic_eval_dataset):
     results = pixel_eval.evaluate_img_lists([pred_path], [gt_path], args)
     stats = results["perImageScores"][pred_path]
     assert stats["nbNotIgnoredPixels"] == 100 * 100  # all GT px are road/car
-    assert stats["nbCorrectPixels"] == 2500  # reference naming quirk: counts ERRONEOUS px
+    # 2,500 px are erroneous; we store actual CORRECT pixels (the reference
+    # stores the erroneous count under this key — documented divergence).
+    assert stats["nbCorrectPixels"] == 100 * 100 - 2500
