@@ -95,6 +95,56 @@ def main():
     infer_imgs_per_sec = one.shape[0] / p50
     log(f"infer: p50 {p50 * 1e3:.1f} ms -> {infer_imgs_per_sec:.1f} img/s")
 
+    # ---- batched pipelined inference (the serving path) ----
+    # Double-buffered dispatch: batch i+1 is in flight while batch i's
+    # (compact uint8) argmax map D2Hs — engine.predict_and_save's pipeline.
+    from collections import deque
+
+    INFER_BATCH = 8 * max(1, n_chips)
+    pred8 = compile_predict_step(
+        mesh, argmax=True, example_params=state.params, id_dtype=jnp.uint8
+    )
+    b8 = shard_batch(mesh, rng.integers(0, 255, (INFER_BATCH, H, W, 3), np.uint8))
+    for _ in range(WARMUP):
+        np.asarray(pred8(state.params, b8))
+    t0 = time.time()
+    pending = deque()
+    for _ in range(ITERS):
+        pending.append(pred8(state.params, b8))
+        if len(pending) >= 2:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
+    batched_dt = (time.time() - t0) / ITERS
+    batched_imgs_per_sec = INFER_BATCH / batched_dt
+    log(f"infer batched: {batched_dt * 1e3:.1f} ms/batch{INFER_BATCH} "
+        f"-> {batched_imgs_per_sec:.1f} img/s")
+
+    # ---- batched inference with the on-device overlay head ----
+    from fcn8s_tensorflow_tpu.labels import TRAINIDS_TO_RGBA_DICT
+
+    lut = np.zeros((NUM_CLASSES, 4), np.float32)
+    for cid, rgba in TRAINIDS_TO_RGBA_DICT.items():
+        if 0 <= cid < NUM_CLASSES:
+            lut[cid] = rgba
+    pred_ov = compile_predict_step(
+        mesh, argmax=True, example_params=state.params, overlay_lut=lut
+    )
+    for _ in range(WARMUP):
+        np.asarray(pred_ov(state.params, b8))
+    t0 = time.time()
+    pending = deque()
+    for _ in range(ITERS):
+        pending.append(pred_ov(state.params, b8))
+        if len(pending) >= 2:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
+    overlay_dt = (time.time() - t0) / ITERS
+    overlay_imgs_per_sec = INFER_BATCH / overlay_dt
+    log(f"infer overlay: {overlay_dt * 1e3:.1f} ms/batch{INFER_BATCH} "
+        f"-> {overlay_imgs_per_sec:.1f} img/s")
+
     result = {
         "metric": "fcn8s_train_images_per_sec_per_chip_1024x512",
         "value": round(train_imgs_per_sec / n_chips, 2),
@@ -107,6 +157,13 @@ def main():
             "train_ms_per_step": round(train_dt * 1e3, 1),
             "infer_images_per_sec_per_chip": round(infer_imgs_per_sec / n_chips, 2),
             "infer_p50_latency_ms_batch1": round(p50 * 1e3, 1),
+            "infer_batched_images_per_sec_per_chip": round(
+                batched_imgs_per_sec / n_chips, 2
+            ),
+            "infer_batched_batch": INFER_BATCH,
+            "infer_overlay_images_per_sec_per_chip": round(
+                overlay_imgs_per_sec / n_chips, 2
+            ),
             "infer_vs_baseline": round(
                 infer_imgs_per_sec / n_chips / BASELINE_TF_CPU_INFER_IMGS_PER_SEC, 1
             ),

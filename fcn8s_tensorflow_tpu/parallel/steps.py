@@ -172,12 +172,30 @@ def eval_step(params, metrics_state, images, label_ids, sample_mask, *,
     )
 
 
-def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloat16):
-    """Inference head: argmax ids (int32) or full softmax (reference
-    `_build_predictor`, `fcn8s_tensorflow.py:261-271`)."""
+def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloat16,
+                 id_dtype=jnp.int32, overlay_lut=None):
+    """Inference head: argmax ids, full softmax, or a fully-composited
+    RGB overlay (reference `_build_predictor`, `fcn8s_tensorflow.py:261-271`,
+    plus the host-side overlay at `visualization_utils.py:7-52` moved into
+    the executable — BASELINE.md's "argmax→color overlay on-TPU").
+
+    ``id_dtype``: dtype of the argmax output; uint8 shrinks the D2H
+    transfer 4× when num_classes <= 255 (the facade re-widens on host).
+
+    ``overlay_lut``: (C, 4) float32 RGBA rows. When given, returns the
+    alpha-composited uint8 RGB image ``img*(1-a) + color*a`` — one LUT
+    gather + blend fused into the same executable, and the D2H payload is
+    3 uint8 channels instead of ids + a host-side blend."""
     logits = apply_fcn8s(params, images, deterministic=True, compute_dtype=compute_dtype)
+    if overlay_lut is not None:
+        pred = jnp.argmax(logits, axis=-1)
+        rgba = jnp.asarray(overlay_lut, jnp.float32)[pred]  # (N,H,W,4)
+        alpha = rgba[..., 3:4] * (1.0 / 255.0)
+        out = images.astype(jnp.float32) * (1.0 - alpha) + rgba[..., :3] * alpha
+        # floor to match the host fallback's float->uint8 truncation
+        return jnp.floor(out).astype(jnp.uint8)
     if argmax:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1).astype(id_dtype)
     return jax.nn.softmax(logits, axis=-1)
 
 
@@ -260,11 +278,15 @@ def compile_eval_step(mesh, num_classes, *, tensor_parallel: bool = True, comput
 
 def compile_predict_step(mesh, *, argmax: bool = True, tensor_parallel: bool = True,
                          compute_dtype=jnp.bfloat16, example_params=None,
-                         spatial_partition: bool = False):
+                         spatial_partition: bool = False, id_dtype=jnp.int32,
+                         overlay_lut=None):
     """``spatial_partition=True`` additionally shards the width dim over the
     'model' axis (conv halo exchanges inserted by GSPMD) — for
     mega-resolution inputs that don't fit one chip's HBM. Params must then
-    be replicated over 'model' (tensor_parallel is mutually exclusive)."""
+    be replicated over 'model' (tensor_parallel is mutually exclusive).
+
+    ``overlay_lut`` ((C, 4) RGBA rows) bakes the on-device overlay
+    compositing into the executable (see ``predict_step``)."""
     from .mesh import batch_sharding, param_sharding_tree, spatial_spec
     from jax.sharding import NamedSharding
 
@@ -278,7 +300,8 @@ def compile_predict_step(mesh, *, argmax: bool = True, tensor_parallel: bool = T
         if example_params is not None
         else None
     )
-    fn = partial(predict_step, argmax=argmax, compute_dtype=compute_dtype)
+    fn = partial(predict_step, argmax=argmax, compute_dtype=compute_dtype,
+                 id_dtype=id_dtype, overlay_lut=overlay_lut)
     return jax.jit(
         fn,
         in_shardings=(p_shard, data) if p_shard is not None else None,

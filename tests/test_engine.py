@@ -200,6 +200,61 @@ def test_predict_and_save(trained_model, tmp_path):
     assert split.shape == (2 * HW[0], HW[1], 3)
 
 
+def test_on_device_overlay_matches_host(trained_model):
+    """predict(overlay=...) composites on device; must match the host
+    compositor (viz.overlay) within 1 LSB (fp32 blend, floor-to-uint8)."""
+    from fcn8s_tensorflow_tpu.viz.overlay import print_segmentation_onto_image
+
+    model, images, _ = trained_model
+    cmap = {0: (255, 0, 0, 127), 1: (0, 255, 0, 200), 2: (0, 0, 255, 0)}
+    composited = model.predict(images, overlay=cmap)
+    assert composited.dtype == np.uint8
+    assert composited.shape == images.shape
+    ids = model.predict(images)
+    for i in range(len(images)):
+        host = print_segmentation_onto_image(images[i], ids[i], cmap)
+        diff = np.abs(host.astype(np.int32) - composited[i].astype(np.int32))
+        assert diff.max() <= 1, f"overlay mismatch: max diff {diff.max()}"
+
+
+def test_predict_compact_ids_dtype_and_values(trained_model):
+    """ids travel D2H as uint8 (num_classes<=255) but the API returns int32,
+    identical to the softmax argmax."""
+    model, images, _ = trained_model
+    ids = model.predict(images)
+    assert ids.dtype == np.int32
+    probs = model.predict(images, argmax=False)
+    np.testing.assert_array_equal(ids, np.argmax(probs, axis=-1))
+
+
+def test_predict_and_save_batched_mixed_sizes(trained_model, tmp_path):
+    """Batched serving: size grouping, short-tail batch padding, writer
+    pool; device-overlay output must match the host-compositor path ±1."""
+    model, images, _ = trained_model
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(3):  # three HW-sized images + one odd-sized
+        Image.fromarray(rng.integers(0, 255, size=(*HW, 3), dtype=np.uint8)).save(
+            img_dir / f"a_{i}.png"
+        )
+    Image.fromarray(rng.integers(0, 255, size=(48, 40, 3), dtype=np.uint8)).save(
+        img_dir / "b_odd.png"
+    )
+    cmap = {0: (255, 0, 0, 127), 1: (0, 255, 0, 127), 2: (0, 0, 255, 127)}
+    dev_dir, host_dir = str(tmp_path / "dev"), str(tmp_path / "host")
+    model.predict_and_save(dev_dir, str(img_dir), cmap, batch_size=2)
+    model.predict_and_save(host_dir, str(img_dir), cmap, batch_size=2,
+                           on_device_overlay=False)
+    names = sorted(os.listdir(dev_dir))
+    assert names == ["a_0.png", "a_1.png", "a_2.png", "b_odd.png"]
+    for name in names:
+        dev = np.asarray(Image.open(os.path.join(dev_dir, name))).astype(np.int32)
+        host = np.asarray(Image.open(os.path.join(host_dir, name))).astype(np.int32)
+        assert dev.shape == host.shape
+        assert np.abs(dev - host).max() <= 1
+
+
 def test_summaries_written(trained_model, tmp_path):
     model, images, labels = trained_model
     gen = _repeat_batches(images, labels)
