@@ -40,11 +40,60 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+class ScaleByAdamTF1State(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_adam_tf1(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """``tf.train.AdamOptimizer``'s exact update rule (reference `:256`):
+
+        lr_t = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        w   -= lr_t * m_t / (sqrt(v_t) + eps)
+
+    This differs from ``optax.adam`` only in the epsilon placement —
+    optax adds eps to the *bias-corrected* sqrt(v_hat), TF1 to the raw
+    sqrt(v_t), i.e. an effective eps 1/sqrt(1-b2^t) larger early on. The
+    difference only matters where |grad| ~ eps, but exact is exact: the
+    one-Adam-step cross-framework parity test (tests/test_tf_parity.py)
+    matches TF to fp32 rounding with this rule and diverges by ~0.7*lr*1e-3
+    with optax's."""
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return ScaleByAdamTF1State(
+            count=jnp.zeros((), jnp.int32), mu=zeros,
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        t = count.astype(jnp.float32)
+        lr_scale = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        out = jax.tree.map(
+            lambda m, v: lr_scale * m / (jnp.sqrt(v) + eps), mu, nu
+        )
+        return out, ScaleByAdamTF1State(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _adam_tf1(learning_rate):
+    return optax.chain(
+        scale_by_adam_tf1(), optax.scale_by_learning_rate(learning_rate)
+    )
+
+
 def make_optimizer() -> optax.GradientTransformation:
-    """Adam with TF1 defaults (beta1=0.9, beta2=0.999, eps=1e-8 — what
-    ``tf.train.AdamOptimizer`` uses at reference `:256`), with the learning
-    rate injected per-step as a traced hyperparameter."""
-    return optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+    """Adam with TF1 defaults and TF1's exact update formulation (beta1=0.9,
+    beta2=0.999, eps=1e-8 — ``tf.train.AdamOptimizer``, reference `:256`;
+    see ``scale_by_adam_tf1``), with the learning rate injected per-step as
+    a traced hyperparameter."""
+    return optax.inject_hyperparams(_adam_tf1)(learning_rate=1e-4)
 
 
 def create_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
