@@ -25,6 +25,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly @pytest.mark.slow is 'fast', so both
+    ``-m fast`` (~3 min inner loop) and ``-m slow`` select cleanly."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -70,6 +70,7 @@ def test_pipeline_is_jittable(rng):
     np.testing.assert_array_equal(np.asarray(out_img), np.asarray(out2_img))
 
 
+@pytest.mark.slow
 def test_train_with_device_augment(rng):
     """End-to-end: facade train with device_augment runs and learns."""
     from fcn8s_tensorflow_tpu.engine.model import FCN8s

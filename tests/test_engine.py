@@ -113,6 +113,7 @@ def test_train_validates_args(trained_model):
         model.train(gen, 1, 1, constant(1e-3), record_summaries=True)
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(trained_model, tmp_path):
     model, images, labels = trained_model
     model.variables_updated = True
@@ -140,6 +141,7 @@ def test_save_dirty_flag(trained_model, tmp_path):
     assert model.save(str(tmp_path / "x"), force_save=True) is not None
 
 
+@pytest.mark.slow
 def test_load_variables_roundtrip(trained_model, tmp_path):
     model, images, _ = trained_model
     model.variables_updated = True
@@ -152,6 +154,7 @@ def test_load_variables_roundtrip(trained_model, tmp_path):
     assert not np.array_equal(before, after)
 
 
+@pytest.mark.slow
 def test_vgg16_dir_encoder_restore(trained_model, tmp_path):
     """vgg16_dir loads encoder weights only — decoder stays fresh."""
     model, images, _ = trained_model
@@ -227,6 +230,7 @@ def test_predict_compact_ids_dtype_and_values(trained_model):
     np.testing.assert_array_equal(ids, np.argmax(probs, axis=-1))
 
 
+@pytest.mark.slow
 def test_predict_and_save_batched_mixed_sizes(trained_model, tmp_path):
     """Batched serving: size grouping, short-tail batch padding, writer
     pool; device-overlay output must match the host-compositor path ±1."""
@@ -255,6 +259,7 @@ def test_predict_and_save_batched_mixed_sizes(trained_model, tmp_path):
         assert np.abs(dev - host).max() <= 1
 
 
+@pytest.mark.slow
 def test_summaries_written(trained_model, tmp_path):
     model, images, labels = trained_model
     gen = _repeat_batches(images, labels)
@@ -277,6 +282,7 @@ def test_close_is_safe(trained_model, capsys):
     assert "closed" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_resume_from_latest(trained_model, tmp_path):
     model, images, _ = trained_model
     model.variables_updated = True
@@ -311,6 +317,7 @@ def test_prefetch_stream_shared_with_eval(trained_model):
     assert 0.0 <= model.metric_values[0] <= 1.0
 
 
+@pytest.mark.slow
 def test_predict_spatial_partition_matches_default():
     """Facade-level spatial partitioning: exact vs the default path."""
     import jax

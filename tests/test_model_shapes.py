@@ -23,6 +23,7 @@ from fcn8s_tensorflow_tpu.ops.nn import conv2d, conv2d_transpose, max_pool_2x2
 NUM_CLASSES = 5
 
 
+@pytest.mark.slow
 def test_encoder_tap_strides():
     # tiny-width proxy: same 16-layer graph, cheap on CPU
     params = init_vgg16(jax.random.PRNGKey(0), width_mult=1 / 32, fc_channels=64)
@@ -33,6 +34,7 @@ def test_encoder_tap_strides():
     assert fc7.shape == (1, 2, 3, 64)       # stride 32
 
 
+@pytest.mark.slow
 def test_canonical_param_shapes():
     # full-width init (no forward pass): canonical VGG-16 kernel shapes
     params = init_vgg16(jax.random.PRNGKey(0))
@@ -43,6 +45,7 @@ def test_canonical_param_shapes():
     assert params["fc7"]["kernel"].shape == (1, 1, 4096, 4096)
 
 
+@pytest.mark.slow
 def test_full_model_output_resolution():
     params = init_fcn8s(jax.random.PRNGKey(0), NUM_CLASSES, width_mult=1 / 32, fc_channels=32)
     x = jnp.zeros((2, 64, 96, 3), jnp.float32)
@@ -69,6 +72,7 @@ def test_conv_transpose_same_shape(k, s):
     assert y.shape == (1, 3 * s, 5 * s, 4)
 
 
+@pytest.mark.slow
 def test_conv_transpose_matches_gradient_definition():
     """A transposed conv must be the adjoint of the forward strided conv:
     <conv(x), y> == <x, conv_transpose(y)> with the same kernel."""

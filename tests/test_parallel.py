@@ -68,6 +68,7 @@ def test_param_spec_tree_tp_rules(model_state):
     assert specs["decoder"]["fc7_1x1"]["kernel"] == P()
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_and_matches_single_device(model_state, rng):
     state, optimizer = model_state
     images, labels, mask = _batch(rng, 8)
@@ -94,6 +95,7 @@ def test_dp_train_step_runs_and_matches_single_device(model_state, rng):
     assert int(new8.step) == 1
 
 
+@pytest.mark.slow
 def test_tp_train_step_runs(model_state, rng):
     state, optimizer = model_state
     images, labels, mask = _batch(rng, 4)
@@ -138,6 +140,7 @@ def test_predict_step_shapes(model_state, rng):
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lr_is_live_per_step(model_state, rng):
     """Changing the traced learning rate must not recompile and must change
     the update magnitude (the reference's per-step LR schedule semantics)."""

@@ -40,6 +40,59 @@ def test_annotation_json_roundtrip():
     assert ann2.objects[0].polygon[0] == Point(0, 24)
 
 
+def test_annotation_editing_operations(tmp_path):
+    """Headless editing API (the label tool's capabilities): vertex edits,
+    add/remove/soft-delete/relabel/reorder, persisted via JSON."""
+    ann = Annotation()
+    ann.from_json_text(_annotation_json([{"label": "road", "polygon": ROAD_POLY}]))
+
+    # add a new object on top; rasterization must paint it
+    car = ann.add_object("car", [(10, 30), (30, 30), (30, 45), (10, 45)], user="tester")
+    assert car.id == 1 and car.date != ""
+    img = np.array(create_label_image(ann, "ids"))
+    assert img[40, 20] == name2label["car"].id
+
+    # vertex edits: move the car's top edge up, grow and shrink the polygon
+    car.move_vertex(0, 10, 20)
+    car.move_vertex(1, 30, 20)
+    assert np.array(create_label_image(ann, "ids"))[22, 20] == name2label["car"].id
+    car.append_vertex(9, 45)
+    car.insert_vertex(2, 31, 38)
+    assert len(car.polygon) == 6
+    car.delete_vertex(2)
+    car.delete_vertex(-1)
+    assert len(car.polygon) == 4
+
+    # relabel
+    car.relabel("truck")
+    assert np.array(create_label_image(ann, "ids"))[40, 20] == name2label["truck"].id
+
+    # soft delete hides it from rasterization; restore brings it back
+    car.mark_deleted()
+    assert np.array(create_label_image(ann, "ids"))[40, 20] == name2label["road"].id
+    car.restore()
+    assert np.array(create_label_image(ann, "ids"))[40, 20] == name2label["truck"].id
+
+    # draw-order: move the truck below the road -> road wins the overlap
+    ann.reorder_object(car.id, 0)
+    assert np.array(create_label_image(ann, "ids"))[40, 20] == name2label["road"].id
+    ann.reorder_object(car.id, len(ann.objects) - 1)
+
+    # persistence round-trip with all edits applied
+    path = str(tmp_path / "edited.json")
+    ann.to_json_file(path)
+    ann2 = Annotation()
+    ann2.from_json_file(path)
+    assert [o.label for o in ann2.objects] == ["road", "truck"]
+    assert ann2.objects[1].polygon == car.polygon
+
+    # hard remove
+    ann2.remove_object(1)
+    assert len(ann2.objects) == 1
+    with pytest.raises(KeyError):
+        ann2.get_object(1)
+
+
 def test_create_label_image_ids():
     ann = Annotation()
     ann.from_json_text(_annotation_json([

@@ -63,6 +63,7 @@ def test_space_to_depth_labels(rng):
         assert packed[1, y, x, py, px] == labels[1, 8 * y + py, 8 * x + px]
 
 
+@pytest.mark.slow
 def test_packed_final_loss_equals_unpacked(rng):
     """CE over packed logits + packed labels == CE over the unpacked pair."""
     from fcn8s_tensorflow_tpu.models.fcn8s import apply_fcn8s, init_fcn8s

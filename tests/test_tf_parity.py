@@ -63,6 +63,7 @@ def test_full_width_logits_parity_on_real_images():
     assert stats["argmax_agreement"] > 0.999, stats
 
 
+@pytest.mark.slow
 def test_tiny_logits_and_loss_parity(rng):
     """Tiny-width variant (same graph structure): logits + mean-CE loss."""
     params = init_fcn8s(jax.random.PRNGKey(1), NUM_CLASSES, **TINY)

@@ -40,6 +40,7 @@ def rng_module():
     return np.random.default_rng(7)
 
 
+@pytest.mark.slow
 def test_torch_conversion_shapes(torch_encoder):
     _, enc = torch_encoder
     assert enc["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
@@ -47,12 +48,43 @@ def test_torch_conversion_shapes(torch_encoder):
     assert enc["fc7"]["kernel"].shape == (1, 1, 4096, 4096)
 
 
+@pytest.mark.slow
 def test_torch_conv_layout_oihw_to_hwio(torch_encoder):
     sd, enc = torch_encoder
+    # conv1_2: pure layout conversion (conv1_1 additionally folds the
+    # torchvision input preprocessing — tested separately below)
+    w = sd["features.2.weight"].numpy()  # (O, I, H, W)
+    np.testing.assert_array_equal(enc["conv1_2"]["kernel"][1, 2, :, :], w[:, :, 1, 2].T)
+
+
+@pytest.mark.slow
+def test_torch_preprocessing_fold_is_exact(torch_encoder):
+    """conv1_1 with folded weights on Caffe-style input (x - VGG_MEAN_RGB)
+    must equal the torch conv on torch-normalized input ((x/255 - mean)/std)
+    at interior pixels (ADVICE r1: without the fold, an imported encoder
+    receives inputs ~255x out of scale)."""
+    from fcn8s_tensorflow_tpu.models.vgg16 import VGG_MEAN_RGB
+
+    sd, enc = torch_encoder
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 255, size=(3, 3, 3)).astype(np.float32)  # one 3x3 patch, HWC
+
+    mean = np.asarray(import_vgg16.TORCH_IMAGENET_MEAN, np.float32)
+    std = np.asarray(import_vgg16.TORCH_IMAGENET_STD, np.float32)
+    t = (x / 255.0 - mean) / std
     w = sd["features.0.weight"].numpy()  # (O, I, H, W)
-    np.testing.assert_array_equal(enc["conv1_1"]["kernel"][1, 2, :, :], w[:, :, 1, 2].T)
+    b = sd["features.0.bias"].numpy()
+    torch_out = np.einsum("hwc,ochw->o", t, w) + b
+
+    u = x - np.asarray(VGG_MEAN_RGB, np.float32)
+    ours = (
+        np.tensordot(u, enc["conv1_1"]["kernel"], axes=([0, 1, 2], [0, 1, 2]))
+        + enc["conv1_1"]["bias"]
+    )
+    np.testing.assert_allclose(ours, torch_out, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_torch_fc6_convolutionalization_is_conv_equivalent(torch_encoder):
     """The converted fc6 conv over a 7x7 input must equal the torch linear
     layer applied to the (C, H, W)-flattened input — the FCN recipe."""
@@ -72,6 +104,7 @@ def test_torch_fc6_convolutionalization_is_conv_equivalent(torch_encoder):
     np.testing.assert_allclose(conv_out, linear_out, rtol=2e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_torch_fc7_layout(torch_encoder):
     sd, enc = torch_encoder
     np.testing.assert_array_equal(

@@ -27,10 +27,38 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from fcn8s_tensorflow_tpu.engine.checkpoint import save_checkpoint  # noqa: E402
-from fcn8s_tensorflow_tpu.models.vgg16 import VGG16_CONV_LAYERS  # noqa: E402
+from fcn8s_tensorflow_tpu.models.vgg16 import (  # noqa: E402
+    VGG16_CONV_LAYERS,
+    VGG_MEAN_RGB,
+)
 
 # torchvision vgg16.features indices of the 13 conv layers, in order.
 _TORCH_FEATURE_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+# torchvision preprocessing: inputs scaled to [0,1], ImageNet-normalized.
+TORCH_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+TORCH_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _fold_torch_preprocessing(kernel: np.ndarray, bias: np.ndarray):
+    """Fold torchvision's input preprocessing into conv1_1.
+
+    torchvision VGG-16 sees ``t = (x/255 - mean)/std``; ``apply_vgg16``
+    always feeds Caffe-style ``u = x - VGG_MEAN_RGB`` on 0..255 inputs
+    (`models/vgg16.py:106-108`). Without this fold an imported encoder
+    receives inputs ~255x out of scale. Writing ``t_c = a_c*u_c +
+    a_c*resid_c`` with ``a_c = 1/(255*std_c)`` and ``resid_c =
+    VGG_MEAN_RGB_c - 255*mean_c`` gives the exact interior-pixel-equivalent
+    conv:  ``kernel' = kernel*a_c`` (per input channel), ``bias' = bias +
+    sum_{h,w,c} kernel'[h,w,c,:] * resid_c``. (At SAME-padded borders both
+    schemes zero-pad *their own* normalized input, so border rows differ by
+    the padding convention — inherent to any mean-folding, not this one.)"""
+    a = 1.0 / (255.0 * np.asarray(TORCH_IMAGENET_STD, np.float32))
+    resid = (np.asarray(VGG_MEAN_RGB, np.float32)
+             - 255.0 * np.asarray(TORCH_IMAGENET_MEAN, np.float32))
+    folded = kernel * a[None, None, :, None]
+    bias_adj = np.einsum("hwco,c->o", folded, resid)
+    return folded, bias + bias_adj
 
 
 def _as_encoder_tree(kernels: dict, biases: dict) -> dict:
@@ -97,6 +125,11 @@ def from_torch_state_dict(state_dict) -> dict:
     w7 = npy(state_dict["classifier.3.weight"])  # (4096, 4096)
     kernels["fc7"] = w7.T[None, None]  # -> (1, 1, 4096, 4096)
     biases["fc7"] = npy(state_dict["classifier.3.bias"])
+    # torchvision expects [0,1]-scaled ImageNet-normalized inputs; fold that
+    # into conv1_1 so apply_vgg16's Caffe-style pipeline feeds it correctly.
+    kernels["conv1_1"], biases["conv1_1"] = _fold_torch_preprocessing(
+        kernels["conv1_1"], biases["conv1_1"]
+    )
     return _as_encoder_tree(kernels, biases)
 
 
