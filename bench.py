@@ -67,7 +67,7 @@ def main():
         rng.integers(0, NUM_CLASSES, (TRAIN_BATCH, H, W), np.uint8),
         np.ones((TRAIN_BATCH,), np.float32),
     )
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl="rbg")  # TPU hardware RNG path (engine default)
     for _ in range(WARMUP):
         state, loss = step(state, im, lb, mk, key, 1e-4, 0.0, 0.5)
     float(loss)  # hard sync (block_until_ready is a no-op on the axon platform)
