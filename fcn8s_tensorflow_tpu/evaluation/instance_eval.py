@@ -391,6 +391,8 @@ def compute_averages(aps: np.ndarray, args: InstanceEvalArgs) -> dict:
     d_inf = int(np.argmax(args.distance_ths))
     if not args.distance_available:
         d_inf = 0
+    d50m = np.where(np.isclose(np.asarray(args.distance_ths), 50.0))
+    d100m = np.where(np.isclose(np.asarray(args.distance_ths), 100.0))
     o50 = np.where(np.isclose(np.asarray(args.overlaps), 0.5))
     with np.errstate(invalid="ignore"):
         import warnings
@@ -403,25 +405,46 @@ def compute_averages(aps: np.ndarray, args: InstanceEvalArgs) -> dict:
                 "allAp50%": float(np.nanmean(aps[d_inf, :, o50])),
                 "classes": {},
             }
+            if args.distance_available:
+                # distance-gated variants (reference `:560-564`)
+                avg["allAp50m"] = float(np.nanmean(aps[d50m, :, :]))
+                avg["allAp100m"] = float(np.nanmean(aps[d100m, :, :]))
+                avg["allAp50%50m"] = float(np.nanmean(aps[d50m, :, o50]))
             for l_i, label_name in enumerate(args.inst_labels):
                 avg["classes"][label_name] = {
                     "ap": float(np.nanmean(aps[d_inf, l_i, :])),
                     "ap50%": float(np.nanmean(aps[d_inf, l_i, o50])),
                 }
+                if args.distance_available:
+                    avg["classes"][label_name].update({
+                        "ap50m": float(np.nanmean(aps[d50m, l_i, :])),
+                        "ap100m": float(np.nanmean(aps[d100m, l_i, :])),
+                        "ap50%50m": float(np.nanmean(aps[d50m, l_i, o50])),
+                    })
     return avg
 
 
 def print_results(avg_dict: dict, args: InstanceEvalArgs) -> None:
     if args.quiet:
         return
-    print(args.bold + f"{'what':<15}{'AP':>10}{'AP_50%':>10}" + args.nocol)
-    print("-" * 35)
+    cols = ["ap", "ap50%"] + (
+        ["ap50m", "ap100m", "ap50%50m"] if args.distance_available else []
+    )
+    heads = {"ap": "AP", "ap50%": "AP_50%", "ap50m": "AP_50m",
+             "ap100m": "AP_100m", "ap50%50m": "AP_50%50m"}
+    width = 15 + 10 * len(cols)
+    print(args.bold + f"{'what':<15}" + "".join(f"{heads[c]:>10}" for c in cols) + args.nocol)
+    print("-" * width)
     for name, entry in avg_dict["classes"].items():
-        ap = get_color_entry(entry["ap"], args) + f"{entry['ap']:>10.3f}" + args.nocol
-        ap50 = get_color_entry(entry["ap50%"], args) + f"{entry['ap50%']:>10.3f}" + args.nocol
-        print(f"{name:<15}{ap}{ap50}")
-    print("-" * 35)
-    print(f"{'average':<15}{avg_dict['allAp']:>10.3f}{avg_dict['allAp50%']:>10.3f}")
+        cells = "".join(
+            get_color_entry(entry[c], args) + f"{entry[c]:>10.3f}" + args.nocol
+            for c in cols
+        )
+        print(f"{name:<15}{cells}")
+    print("-" * width)
+    all_keys = {"ap": "allAp", "ap50%": "allAp50%", "ap50m": "allAp50m",
+                "ap100m": "allAp100m", "ap50%50m": "allAp50%50m"}
+    print(f"{'average':<15}" + "".join(f"{avg_dict[all_keys[c]]:>10.3f}" for c in cols))
 
 
 def evaluate_img_lists(prediction_list, ground_truth_list, args: InstanceEvalArgs) -> dict:

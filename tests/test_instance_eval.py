@@ -64,6 +64,52 @@ def args(tmp_path):
     return a
 
 
+def test_distance_gated_variants(args):
+    """distance_available=True evaluates all three (minRegion, distTh,
+    distConf) variants and reports AP_50m / AP_100m / AP_50%50m (reference
+    `:549-576`). Two car GTs — near (30 m) and far (80 m) — with a perfect
+    prediction on the near one only: the 100 m gate keeps both GTs (AP on
+    1-of-2), the 50 m gate drops the far GT (AP = 1)."""
+    import numpy as np
+
+    from fcn8s_tensorflow_tpu.evaluation.instance_eval import (
+        compute_averages,
+        evaluate_matches,
+        set_inst_labels,
+    )
+
+    args.distance_available = True
+    set_inst_labels(args)
+
+    def gt(inst_id, px, med_dist):
+        return {"instID": inst_id, "pixelCount": px, "medDist": med_dist,
+                "distConf": 0.9, "matchedPred": []}
+
+    near, far = gt(26001, 2000, 30.0), gt(26002, 2000, 80.0)
+    pred = {"confidence": 0.99, "pixelCount": 2000, "voidIntersection": 0,
+            "matchedGt": [dict(near, intersection=2000)]}
+    near["matchedPred"] = [dict(pred, intersection=2000)]
+
+    matches = {"img0": {
+        "groundTruth": {n: [] for n in args.inst_labels},
+        "prediction": {n: [] for n in args.inst_labels},
+    }}
+    matches["img0"]["groundTruth"]["car"] = [near, far]
+    matches["img0"]["prediction"]["car"] = [pred]
+
+    aps = evaluate_matches(matches, args)
+    assert aps.shape[0] == 3  # all three distance variants evaluated
+    avg = compute_averages(aps, args)
+    # far GT (80 m) passes the 100 m gate -> 1 of 2 GTs matched
+    assert 0.0 < avg["classes"]["car"]["ap100m"] < 1.0
+    assert avg["classes"]["car"]["ap100m"] == pytest.approx(avg["classes"]["car"]["ap"])
+    # ...but fails the 50 m gate -> only the matched near GT remains
+    assert avg["classes"]["car"]["ap50m"] == pytest.approx(1.0)
+    assert avg["allAp50m"] == pytest.approx(1.0)
+    assert avg["allAp50%50m"] == pytest.approx(1.0)
+    assert np.isfinite(avg["allAp100m"])
+
+
 def test_perfect_prediction_ap_one(tmp_path, args):
     inst = np.zeros((100, 100), np.int32)
     inst[10:40, 10:40] = 26000   # car instance (900 px >= minRegion 100)

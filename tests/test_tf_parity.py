@@ -91,6 +91,49 @@ def test_tiny_logits_and_loss_parity(rng):
 
 
 @pytest.mark.slow
+def test_five_step_training_trajectory_parity(rng):
+    """Five consecutive train steps from identical weights: the loss
+    trajectories must track (compounding fp32 drift stays ~1e-4 relative)."""
+    from parity_harness import tf_train_trajectory
+    from fcn8s_tensorflow_tpu.parallel.steps import (
+        create_train_state,
+        make_optimizer,
+        train_step,
+    )
+
+    lr, steps = 1e-3, 5
+    params = init_fcn8s(jax.random.PRNGKey(3), NUM_CLASSES, **TINY)
+    tf_model = build_tf_reference_model(NUM_CLASSES, **TINY)
+    copy_params_to_tf(params, tf_model)
+
+    images = rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8)
+    label_ids = rng.integers(0, NUM_CLASSES, size=(2, 64, 64)).astype(np.uint8)
+
+    tf_losses = tf_train_trajectory(tf_model, images, label_ids, NUM_CLASSES,
+                                    learning_rate=lr, steps=steps)
+
+    optimizer = make_optimizer()
+    state = create_train_state(params, optimizer)
+    step = jax.jit(
+        lambda s, im, lb, mk: train_step(
+            s, im, lb, mk, jax.random.PRNGKey(0), lr, 0.0, 1.0,
+            optimizer=optimizer, num_classes=NUM_CLASSES,
+            compute_dtype=jnp.float32, use_pallas_ce=False,
+        )
+    )
+    im, lb = jnp.asarray(images), jnp.asarray(label_ids)
+    mk = jnp.ones((2,), jnp.float32)
+    jax_losses = []
+    for _ in range(steps):
+        state, loss = step(state, im, lb, mk)
+        jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, tf_losses, rtol=1e-3)
+    # the trajectory must actually be descending (both frameworks learning)
+    assert jax_losses[-1] < jax_losses[0]
+
+
+@pytest.mark.slow
 def test_one_adam_step_parity(rng):
     """One full train step (grads + Adam with TF1 defaults) from identical
     weights must land both frameworks on the same updated weights."""

@@ -129,6 +129,31 @@ def tf_loss_and_adam_step(tf_model, images, label_ids, num_classes,
     return float(loss), weights
 
 
+def tf_train_trajectory(tf_model, images, label_ids, num_classes,
+                        learning_rate=1e-3, steps=5):
+    """Loss sequence over several reference train steps (one persistent
+    Adam optimizer, dropout off — the multi-step extension of
+    ``tf_loss_and_adam_step``)."""
+    import tensorflow as tf
+
+    opt = tf.keras.optimizers.Adam(learning_rate, beta_1=0.9, beta_2=0.999,
+                                   epsilon=1e-8)
+    one_hot = tf.one_hot(np.asarray(label_ids), num_classes)
+    x = tf.constant(np.asarray(images, np.float32))
+    losses = []
+    for _ in range(steps):
+        with tf.GradientTape() as tape:
+            logits = tf_model(x, training=False)
+            loss = tf.reduce_mean(
+                tf.nn.softmax_cross_entropy_with_logits(labels=one_hot,
+                                                        logits=logits)
+            )
+        grads = tape.gradient(loss, tf_model.trainable_variables)
+        opt.apply_gradients(zip(grads, tf_model.trainable_variables))
+        losses.append(float(loss))
+    return losses
+
+
 def compare_logits(a, b) -> dict:
     """Parity stats between two (N,H,W,C) fp32 logit arrays."""
     a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
