@@ -267,14 +267,30 @@ def _ce_sum_sample_fwd(flat_logits, labels_flat, mask, num_classes, pps, chunk, 
 def _ce_sum_sample_bwd(num_classes, pps, chunk, interpret, residuals, g):
     """(softmax - onehot) * mask_per_sample * g as plain XLA — both the
     sample mask and the one-hot (broadcast compare against the compact
-    (N,) labels) stay inside the fusion, never materialized per-pixel."""
+    (N,) labels) stay inside the fusion, never materialized per-pixel.
+
+    ``_BWD_BARRIER`` (negative result, measured v5e @8x1024x512, keep
+    False): XLA fuses the downstream space-to-depth relayout (the subpixel
+    deconv backward wants (n, H/8, W/8, 64*C)) into this computation and
+    materializes eq/sub intermediates as s32/f32 packed-layout copies
+    (copy.1100/.1101/.1103, ~4.4 ms/step). An optimization_barrier pinning
+    dlogits compact-bf16 first looked like a 3x-byte win but measured
+    SLOWER — 114.0 vs 109.3 ms/step — because it adds a full extra
+    materialization pass (168 MB write + read) the fused form never pays."""
     flat_logits, labels_flat, mask = residuals
     softmax = jax.nn.softmax(flat_logits.astype(jnp.float32), axis=1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, num_classes), 1)
     onehot = (labels_flat[:, None].astype(jnp.int32) == lanes).astype(jnp.float32)
     d = (softmax - onehot) * jnp.asarray(g, jnp.float32)
     d = d.reshape(mask.shape[0], pps, num_classes) * mask[:, None, None]
-    return d.reshape(flat_logits.shape).astype(flat_logits.dtype), None, None
+    d = d.reshape(flat_logits.shape).astype(flat_logits.dtype)
+    if _BWD_BARRIER:
+        d = jax.lax.optimization_barrier(d)
+    return d, None, None
+
+
+# Experiment toggle (read at trace time; see _ce_sum_sample_bwd docstring).
+_BWD_BARRIER = False
 
 
 _ce_sum_sample.defvjp(_ce_sum_sample_fwd, _ce_sum_sample_bwd)
