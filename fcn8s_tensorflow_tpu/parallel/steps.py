@@ -222,7 +222,7 @@ def eval_step(params, metrics_state, images, label_ids, sample_mask, *,
 
 
 def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloat16,
-                 id_dtype=jnp.int32, overlay_lut=None):
+                 id_dtype=jnp.int32, overlay_lut=None, quantized: bool = False):
     """Inference head: argmax ids, full softmax, or a fully-composited
     RGB overlay (reference `_build_predictor`, `fcn8s_tensorflow.py:261-271`,
     plus the host-side overlay at `visualization_utils.py:7-52` moved into
@@ -234,8 +234,16 @@ def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloa
     ``overlay_lut``: (C, 4) float32 RGBA rows. When given, returns the
     alpha-composited uint8 RGB image ``img*(1-a) + color*a`` — one LUT
     gather + blend fused into the same executable, and the D2H payload is
-    3 uint8 channels instead of ids + a host-side blend."""
-    logits = apply_fcn8s(params, images, deterministic=True, compute_dtype=compute_dtype)
+    3 uint8 channels instead of ids + a host-side blend.
+
+    ``quantized``: ``params`` is a ``quantize_fcn8s_params`` tree; the
+    encoder runs int8 on the MXU (2x bf16 peak on v5e — ops/quantize.py)."""
+    if quantized:
+        from ..ops.quantize import apply_fcn8s_int8
+
+        logits = apply_fcn8s_int8(params, images, compute_dtype=compute_dtype)
+    else:
+        logits = apply_fcn8s(params, images, deterministic=True, compute_dtype=compute_dtype)
     if overlay_lut is not None:
         pred = jnp.argmax(logits, axis=-1)
         rgba = jnp.asarray(overlay_lut, jnp.float32)[pred]  # (N,H,W,4)
@@ -328,14 +336,18 @@ def compile_eval_step(mesh, num_classes, *, tensor_parallel: bool = True, comput
 def compile_predict_step(mesh, *, argmax: bool = True, tensor_parallel: bool = True,
                          compute_dtype=jnp.bfloat16, example_params=None,
                          spatial_partition: bool = False, id_dtype=jnp.int32,
-                         overlay_lut=None):
+                         overlay_lut=None, quantized: bool = False):
     """``spatial_partition=True`` additionally shards the width dim over the
     'model' axis (conv halo exchanges inserted by GSPMD) — for
     mega-resolution inputs that don't fit one chip's HBM. Params must then
     be replicated over 'model' (tensor_parallel is mutually exclusive).
 
     ``overlay_lut`` ((C, 4) RGBA rows) bakes the on-device overlay
-    compositing into the executable (see ``predict_step``)."""
+    compositing into the executable (see ``predict_step``).
+
+    ``quantized``: ``example_params`` is the int8 tree; its ~30 MB encoder
+    replicates over 'model' (the TP fc6/fc7 name rules don't apply to the
+    ``kernel_q``/``scale`` leaves and the tree is small enough not to shard)."""
     from .mesh import batch_sharding, param_sharding_tree, spatial_spec
     from jax.sharding import NamedSharding
 
@@ -345,12 +357,13 @@ def compile_predict_step(mesh, *, argmax: bool = True, tensor_parallel: bool = T
         NamedSharding(mesh, spatial_spec()) if spatial_partition else batch_sharding(mesh)
     )
     p_shard = (
-        param_sharding_tree(mesh, example_params, tensor_parallel=tensor_parallel)
+        param_sharding_tree(mesh, example_params,
+                            tensor_parallel=tensor_parallel and not quantized)
         if example_params is not None
         else None
     )
     fn = partial(predict_step, argmax=argmax, compute_dtype=compute_dtype,
-                 id_dtype=id_dtype, overlay_lut=overlay_lut)
+                 id_dtype=id_dtype, overlay_lut=overlay_lut, quantized=quantized)
     return jax.jit(
         fn,
         in_shardings=(p_shard, data) if p_shard is not None else None,

@@ -93,6 +93,20 @@ def test_predict_argmax_and_softmax(trained_model):
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
 
 
+def test_predict_quantized_agrees(trained_model):
+    """Facade int8 path (ops/quantize.py): same shape/dtype contract as the
+    float path and high argmax agreement on the overfit model."""
+    model, images, labels = trained_model
+    pred = model.predict(images)
+    pred_q = model.predict(images, quantized=True)
+    assert pred_q.shape == pred.shape
+    assert (pred_q == pred).mean() >= 0.97
+    # cache invalidation contract: training must drop the qparams cache
+    assert model._quantized_params() is model._quantized_params()
+    model._qparams = None
+    assert model.predict(images, quantized=True).shape == pred.shape
+
+
 def test_predict_pads_odd_sizes(trained_model):
     model, _, _ = trained_model
     odd = np.zeros((1, 37, 50, 3), np.uint8)

@@ -1,0 +1,134 @@
+"""Int8 quantized inference path (ops/quantize.py).
+
+Covers the quantization math exactly (hand-computed fixtures per repo
+convention), the int8 conv against an integer NumPy reference, and
+end-to-end argmax agreement between the bf16 and int8 forwards on a model
+briefly trained on synthetic data (random-init logits sit at ~1e-3 scale
+where quantization noise dominates; a trained head separates classes and
+is the realistic agreement regime).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fcn8s_tensorflow_tpu.models.fcn8s import apply_fcn8s, init_fcn8s
+from fcn8s_tensorflow_tpu.ops.quantize import (
+    INT8_MAX,
+    apply_fcn8s_int8,
+    conv2d_int8,
+    quantize_fcn8s_params,
+    quantize_kernel_per_channel,
+)
+
+
+def test_per_channel_scale_hand_computed():
+    # channel 0: max|w| = 2.54 -> scale 0.02, w_q = round(w / 0.02)
+    # channel 1: max|w| = 127  -> scale 1.0
+    kernel = np.zeros((1, 1, 2, 2), np.float32)
+    kernel[0, 0, :, 0] = [2.54, -1.27]
+    kernel[0, 0, :, 1] = [127.0, 63.5]
+    q, scale = quantize_kernel_per_channel(jnp.asarray(kernel))
+    np.testing.assert_allclose(np.asarray(scale), [2.54 / 127.0, 1.0], rtol=1e-6)
+    assert np.array_equal(np.asarray(q)[0, 0, :, 0], [127, -64])  # round(-63.5) -> -64
+    assert np.array_equal(np.asarray(q)[0, 0, :, 1], [127, 64])   # round(63.5) -> 64 (round-half-even on .5 exact? no: 63.5 exact -> 64)
+
+
+def test_zero_channel_gets_unit_scale():
+    kernel = np.zeros((3, 3, 4, 2), np.float32)
+    kernel[..., 1] = 0.5
+    q, scale = quantize_kernel_per_channel(jnp.asarray(kernel))
+    assert float(scale[0]) == 1.0
+    assert np.all(np.asarray(q)[..., 0] == 0)
+
+
+def test_quantize_roundtrip_error_bound(rng):
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32))
+    q, scale = quantize_kernel_per_channel(kernel)
+    deq = np.asarray(q).astype(np.float32) * np.asarray(scale)
+    # max error <= scale/2 per channel (symmetric rounding)
+    err = np.abs(deq - np.asarray(kernel))
+    assert np.all(err <= np.asarray(scale) / 2 + 1e-7)
+
+
+def test_conv2d_int8_matches_integer_reference(rng):
+    """The int32 accumulation must be exact: compare against a float64
+    NumPy convolution of the *quantized* operands."""
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 4)).astype(np.float32) * 3)
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 4, 5)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+    q, w_scale = quantize_kernel_per_channel(kernel)
+    out = conv2d_int8(
+        x, {"kernel_q": q, "scale": w_scale, "bias": bias},
+        compute_dtype=jnp.float32,
+    )
+
+    # reproduce the dynamic activation quantization on host
+    x_np = np.asarray(x, np.float64)
+    a_scale = max(np.abs(x_np).max(), 1e-12) / INT8_MAX
+    xq = np.clip(np.round(x_np / a_scale), -INT8_MAX, INT8_MAX)
+    q_np = np.asarray(q, np.float64)
+    ref = np.zeros((1, 6, 6, 5))
+    xp = np.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    for i in range(6):
+        for j in range(6):
+            patch = xp[0, i : i + 3, j : j + 3, :]
+            ref[0, i, j] = np.tensordot(patch, q_np, axes=3)
+    ref = ref * (a_scale * np.asarray(w_scale, np.float64)) + np.asarray(bias)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def _tiny_model(num_classes=5):
+    return init_fcn8s(jax.random.PRNGKey(0), num_classes, width_mult=1 / 8,
+                      fc_channels=64)
+
+
+def test_apply_fcn8s_int8_shapes():
+    params = _tiny_model()
+    q = quantize_fcn8s_params(params)
+    x = jnp.zeros((2, 64, 96, 3), jnp.uint8)
+    logits = apply_fcn8s_int8(q, x, compute_dtype=jnp.float32)
+    assert logits.shape == (2, 64, 96, 5)
+    assert logits.dtype == jnp.float32
+
+
+def test_int8_argmax_agreement_after_training(rng):
+    """Train a tiny model a few steps on a separable synthetic task, then
+    require >=97% argmax agreement between the bf16 and int8 forwards."""
+    import optax
+
+    num_classes = 3
+    params = _tiny_model(num_classes)
+
+    # synthetic task: class = brightness band
+    images = rng.integers(0, 255, (4, 32, 32, 3), np.uint8)
+    labels = (images.mean(-1) // 86).astype(np.int32)  # 3 bands
+
+    def loss_fn(p):
+        logits = apply_fcn8s(p, jnp.asarray(images), compute_dtype=jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(labels))
+        return ce.mean()
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(lambda p, s: _train_update(p, s, loss_fn, opt))
+    for _ in range(30):
+        params, opt_state = step(params, opt_state)
+
+    logits16 = apply_fcn8s(params, jnp.asarray(images), compute_dtype=jnp.float32)
+    q = quantize_fcn8s_params(params)
+    logits8 = apply_fcn8s_int8(q, jnp.asarray(images), compute_dtype=jnp.float32)
+    a16 = np.asarray(jnp.argmax(logits16, -1))
+    a8 = np.asarray(jnp.argmax(logits8, -1))
+    agreement = (a16 == a8).mean()
+    assert agreement >= 0.97, f"int8/bf16 argmax agreement {agreement:.3f}"
+
+
+def _train_update(params, opt_state, loss_fn, opt):
+    grads = jax.grad(loss_fn)(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    import optax
+
+    return optax.apply_updates(params, updates), opt_state
