@@ -64,3 +64,49 @@ def test_view_cityscapes_split(tmp_path, rng):
     assert panel.shape == (16, 48, 3)  # image + GT overlay
     with pytest.raises(ValueError, match="no images"):
         view_cityscapes_split(str(tmp_path), "train", str(tmp_path / "out2"))
+
+
+def test_build_interactive_viewer(tmp_path, rng):
+    from fcn8s_tensorflow_tpu.viz.serve import build_interactive_viewer
+
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"img_{i}.png")
+        Image.fromarray(rng.integers(0, 255, (12, 16, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    gt = rng.integers(0, 2, (12, 16), dtype=np.uint8)
+    out = build_interactive_viewer(
+        str(tmp_path / "v"), paths, gt_loader=lambda p: gt,
+        pred_loader=lambda p: gt, color_map=CMAP, title="t<est>",
+    )
+    assert os.path.isfile(out)
+    html = open(out).read()
+    assert "t&lt;est&gt;" in html
+    assert '"gt": "img_0_gt.png"' in html and '"pred": "img_1_pred.png"' in html
+    for layer in ["img", "gt", "pred"]:
+        assert os.path.isfile(str(tmp_path / "v" / f"img_0_{layer}.png"))
+    with pytest.raises(ValueError, match="no images"):
+        build_interactive_viewer(str(tmp_path / "v2"), [])
+
+
+def test_serve_viewer_http_roundtrip(tmp_path, rng):
+    """Non-blocking stdlib server actually serves the built viewer."""
+    import urllib.request
+
+    from fcn8s_tensorflow_tpu.viz.serve import build_interactive_viewer, serve_viewer
+
+    p = str(tmp_path / "img.png")
+    Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)).save(p)
+    build_interactive_viewer(str(tmp_path / "v"), [p], color_map=CMAP)
+    server = serve_viewer(str(tmp_path / "v"), port=0, blocking=False)
+    try:
+        host, port = server.server_address[:2]
+        body = urllib.request.urlopen(
+            f"http://{host}:{port}/viewer.html", timeout=10).read().decode()
+        assert "ENTRIES" in body
+        png = urllib.request.urlopen(
+            f"http://{host}:{port}/img_img.png", timeout=10).read()
+        assert png[:4] == b"\x89PNG"
+    finally:
+        server.shutdown()
+        server.server_close()
