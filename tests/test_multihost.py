@@ -23,3 +23,33 @@ def test_two_process_distributed_train_step():
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "MULTIHOST SMOKE OK" in out.stdout
+
+
+@pytest.mark.slow
+def test_four_process_distributed_train_step():
+    """4-process x 2-device matrix point (mesh data=4 x model=2)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multihost_smoke.py"),
+         "--procs", "4", "--devices-per-proc", "2"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "MULTIHOST SMOKE OK: 4 processes agree" in out.stdout
+
+
+@pytest.mark.slow
+def test_fault_injection_resume_bit_exact():
+    """Kill a process mid-run; restart from checkpoint; final params must
+    match the uninterrupted run bit-exactly (tools/multihost_fault_injection.py)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multihost_fault_injection.py")],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
+    assert "FAULT INJECTION OK" in out.stdout

@@ -9,8 +9,9 @@ global ('data', 'model') mesh spanning both processes, and run the full
 sharded train step (DP gradient psum + Megatron TP all-reduce crossing the
 process boundary). Success = both processes print the same finite loss.
 
-Run:  python tools/multihost_smoke.py            (spawns both children)
-      python tools/multihost_smoke.py --child I  (internal)
+Run:  python tools/multihost_smoke.py                  (spawns both children)
+      python tools/multihost_smoke.py --procs 4        (4-process matrix point)
+      python tools/multihost_smoke.py --child I ...    (internal)
 
 Used by tests/test_multihost.py.
 """
@@ -21,22 +22,28 @@ import os
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 NUM_PROCESSES = 2
 DEVICES_PER_PROCESS = 4
 PORT = 12355
 
 
-def child(process_id: int) -> None:
+def _argval(flag: str, default: int) -> int:
+    return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+
+def child(process_id: int, num_processes: int, devices_per_process: int) -> None:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={DEVICES_PER_PROCESS}"
+        + f" --xla_force_host_platform_device_count={devices_per_process}"
     ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
         coordinator_address=f"localhost:{PORT}",
-        num_processes=NUM_PROCESSES,
+        num_processes=num_processes,
         process_id=process_id,
     )
     import jax.numpy as jnp
@@ -50,15 +57,15 @@ def child(process_id: int) -> None:
         make_optimizer,
     )
 
-    n_global = NUM_PROCESSES * DEVICES_PER_PROCESS
+    n_global = num_processes * devices_per_process
     assert len(jax.devices()) == n_global, (
         f"expected {n_global} global devices, got {len(jax.devices())}"
     )
 
-    # 4-way DP x 2-way TP, the TP pairs spanning the two processes when the
+    # (n/2)-way DP x 2-way TP, the TP pairs spanning processes when the
     # device order interleaves; either way at least one collective crosses
-    # the process boundary (DP grad psum reduces over all 8 devices).
-    mesh = create_mesh(data=4, model=2)
+    # the process boundary (DP grad psum reduces over all global devices).
+    mesh = create_mesh(data=n_global // 2, model=2)
     num_classes = 20
     params = init_fcn8s(jax.random.PRNGKey(0), num_classes, width_mult=1 / 16,
                         fc_channels=64)
@@ -92,18 +99,22 @@ def child(process_id: int) -> None:
 
 
 def main() -> int:
+    num_processes = _argval("--procs", NUM_PROCESSES)
+    devices_per_process = _argval("--devices-per-proc", DEVICES_PER_PROCESS)
     if "--child" in sys.argv:
-        child(int(sys.argv[sys.argv.index("--child") + 1]))
+        child(_argval("--child", 0), num_processes, devices_per_process)
         return 0
 
     env = dict(os.environ)
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child", str(i)],
+            [sys.executable, os.path.abspath(__file__), "--child", str(i),
+             "--procs", str(num_processes),
+             "--devices-per-proc", str(devices_per_process)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
-        for i in range(NUM_PROCESSES)
+        for i in range(num_processes)
     ]
     ok, losses = True, []
     for i, p in enumerate(procs):
@@ -114,8 +125,8 @@ def main() -> int:
         for line in out.splitlines():
             if "multihost step OK, loss=" in line:
                 losses.append(float(line.rsplit("=", 1)[1]))
-    if ok and len(losses) == NUM_PROCESSES and len(set(losses)) == 1:
-        print(f"MULTIHOST SMOKE OK: {NUM_PROCESSES} processes agree, "
+    if ok and len(losses) == num_processes and len(set(losses)) == 1:
+        print(f"MULTIHOST SMOKE OK: {num_processes} processes agree, "
               f"loss={losses[0]:.6f}")
         return 0
     print("MULTIHOST SMOKE FAILED")
