@@ -120,6 +120,29 @@ def main():
     log(f"infer batched: {batched_dt * 1e3:.1f} ms/batch{INFER_BATCH} "
         f"-> {batched_imgs_per_sec:.1f} img/s")
 
+    # ---- batched pipelined inference, int8-quantized encoder ----
+    from fcn8s_tensorflow_tpu.ops.quantize import quantize_fcn8s_params
+
+    qparams = jax.jit(quantize_fcn8s_params)(state.params)
+    pred_q = compile_predict_step(
+        mesh, argmax=True, example_params=qparams, id_dtype=jnp.uint8,
+        quantized=True,
+    )
+    for _ in range(WARMUP):
+        np.asarray(pred_q(qparams, b8))
+    t0 = time.time()
+    pending = deque()
+    for _ in range(ITERS):
+        pending.append(pred_q(qparams, b8))
+        if len(pending) >= 2:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
+    quant_dt = (time.time() - t0) / ITERS
+    quant_imgs_per_sec = INFER_BATCH / quant_dt
+    log(f"infer int8: {quant_dt * 1e3:.1f} ms/batch{INFER_BATCH} "
+        f"-> {quant_imgs_per_sec:.1f} img/s")
+
     # ---- batched inference with the on-device overlay head ----
     from fcn8s_tensorflow_tpu.labels import TRAINIDS_TO_RGBA_DICT
 
@@ -163,6 +186,9 @@ def main():
             "infer_batched_batch": INFER_BATCH,
             "infer_overlay_images_per_sec_per_chip": round(
                 overlay_imgs_per_sec / n_chips, 2
+            ),
+            "infer_int8_images_per_sec_per_chip": round(
+                quant_imgs_per_sec / n_chips, 2
             ),
             "infer_vs_baseline": round(
                 infer_imgs_per_sec / n_chips / BASELINE_TF_CPU_INFER_IMGS_PER_SEC, 1

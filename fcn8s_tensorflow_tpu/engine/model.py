@@ -784,34 +784,55 @@ class FCN8s:
                 )
             tr.update(n)
 
+        def load_chunk(chunk, gh, gw):
+            imgs = []
+            for p in chunk:
+                image = np.asarray(Image.open(p).convert("RGB"))
+                if resize:
+                    import cv2
+
+                    image = cv2.resize(image, (gw, gh), interpolation=cv2.INTER_LINEAR)
+                imgs.append(image)
+            return np.stack(imgs)
+
+        chunks = [
+            (grp[start : start + batch_size], gh, gw)
+            for (gh, gw), grp in groups.items()
+            for start in range(0, len(grp), batch_size)
+        ]
+        # Decode pool: PNG decode of chunk i+1..i+DECODE_AHEAD overlaps chunk
+        # i's H2D + compute + D2H (the reference decodes on the critical path,
+        # one image per sess.run — `fcn8s_tensorflow.py:831-836`).
+        DECODE_AHEAD = 3
+        reader = ThreadPoolExecutor(max_workers=4)
+        decode_futs = deque(
+            (chunk, reader.submit(load_chunk, chunk, gh, gw))
+            for chunk, gh, gw in chunks[:DECODE_AHEAD]
+        )
+        next_decode = DECODE_AHEAD
+
         pending = deque()
         try:
-            for (gh, gw), grp in groups.items():
-                for start in range(0, len(grp), batch_size):
-                    chunk = grp[start : start + batch_size]
-                    imgs = []
-                    for p in chunk:
-                        image = np.asarray(Image.open(p).convert("RGB"))
-                        if resize:
-                            import cv2
-
-                            image = cv2.resize(
-                                image, (gw, gh), interpolation=cv2.INTER_LINEAR
-                            )
-                        imgs.append(image)
-                    images_host = np.stack(imgs)
-                    padded, (n, _, _) = self._prepare_images(
-                        images_host, pad_batch_to=batch_size
-                    )
-                    dev = self._dispatch_predict(padded, argmax=True, overlay=ov)
-                    pending.append((chunk, dev, images_host, n))
-                    if len(pending) >= 2:  # double-buffer: keep one in flight
-                        flush(pending)
+            while decode_futs:
+                chunk, fut = decode_futs.popleft()
+                images_host = fut.result()
+                if next_decode < len(chunks):
+                    c, gh, gw = chunks[next_decode]
+                    decode_futs.append((c, reader.submit(load_chunk, c, gh, gw)))
+                    next_decode += 1
+                padded, (n, _, _) = self._prepare_images(
+                    images_host, pad_batch_to=batch_size
+                )
+                dev = self._dispatch_predict(padded, argmax=True, overlay=ov)
+                pending.append((chunk, dev, images_host, n))
+                if len(pending) >= 2:  # double-buffer: keep one in flight
+                    flush(pending)
             while pending:
                 flush(pending)
             for f in write_futures:
                 f.result()
         finally:
+            reader.shutdown(wait=True)
             writer.shutdown(wait=True)
         tr.close()
 
