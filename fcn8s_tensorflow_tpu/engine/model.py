@@ -227,6 +227,7 @@ class FCN8s:
                 example_state=self.state,
                 augment_fn=getattr(self, "_augment_fn", None),
                 remat=self.remat,
+                grad_accum=getattr(self, "_grad_accum", 1),
             )
         return self._train_steps[batch_shape]
 
@@ -354,6 +355,7 @@ class FCN8s:
         training_loss_display_averaging=3,
         device_augment=None,
         prefetch=2,
+        gradient_accumulation=1,
     ):
         """Train the model. Argument semantics follow the reference
         (`fcn8s_tensorflow.py:399-523`): the generator yields (images,
@@ -377,6 +379,13 @@ class FCN8s:
         inefficiency"); here a worker thread decodes/augments/pads and
         ``device_put``s ahead, overlapping H2D DMA with compute. ``0``
         disables (synchronous, reference behavior).
+
+        ``gradient_accumulation=A`` (TPU-native extra): each generator batch
+        is split into A microbatches scanned inside the compiled step with
+        exact weighted gradient accumulation (parallel/steps.py) — one-chip
+        activation memory drops to a microbatch's worth, so the reference's
+        canonical batch-16 config (BASELINE.md) fits at full resolution
+        (pairs with ``remat=True`` for the extreme cases).
         """
         # --- validation (reference `:511-529`) ---
         metrics = set(metrics)  # the reference's default `{}` is a dict literal
@@ -392,6 +401,10 @@ class FCN8s:
             raise ValueError("save_during_training requires save_dir")
         if monitor != "loss" and monitor not in metrics:
             raise ValueError(f"monitor '{monitor}' requires it to be in metrics {metrics}")
+
+        if gradient_accumulation != getattr(self, "_grad_accum", 1):
+            self._train_steps.clear()  # accumulation is baked into the executable
+        self._grad_accum = gradient_accumulation
 
         if device_augment is not None:
             from ..ops.augment_device import make_augment_fn

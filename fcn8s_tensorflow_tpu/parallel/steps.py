@@ -127,6 +127,7 @@ def train_step(
     augment_fn=None,
     use_pallas_ce: bool | None = None,
     remat: bool = False,
+    grad_accum: int = 1,
 ):
     """One optimization step. ``images`` NHWC uint8, ``label_ids`` NHW uint8,
     ``sample_mask`` (N,) float 0/1 — zeros mark batch-padding samples added
@@ -137,6 +138,19 @@ def train_step(
     device-resident augmentation *inside* the compiled step — VPU work that
     overlaps the conv pipeline instead of serializing on the host like the
     reference (SURVEY.md §3.2).
+
+    ``grad_accum=A`` splits the batch into A microbatches and ``lax.scan``s
+    the forward+backward over them, weighting each microbatch gradient by
+    its share of real (non-padding) samples — mathematically identical to
+    the full-batch gradient, with activation memory of one microbatch.
+    This is how the reference's canonical batch-16 config (BASELINE.md)
+    fits one chip at full 1024x2048 resolution. uint8 inputs make holding
+    the whole global batch in HBM cheap; only activations shrink.
+
+    Measured v5e @16x1024x512: accum=2 is free (220.8 vs 222.2 ms/step,
+    72.5 img/s — microbatch 8 keeps the conv emitters' efficient shapes);
+    accum=4 costs ~2x (442.6 ms — microbatch 4 halves conv efficiency at
+    this resolution). Prefer the largest microbatch that fits.
 
     Returns (new_state, total_loss). Loss = mean softmax CE over all real
     pixels + l2_rate * sum(l2(decoder kernels)) (reference `:250-253`).
@@ -153,12 +167,12 @@ def train_step(
     # ~4.5% (152.9 ms) by halving the biggest tensor's HBM traffic.
     use_pallas = _on_tpu() if use_pallas_ce is None else use_pallas_ce
 
-    def loss_fn(params):
+    def loss_for(params, im, lb, mk, dropout_rng):
         logits = apply_fcn8s(
             params,
-            images,
+            im,
             keep_prob=keep_prob,
-            rng=step_rng,
+            rng=dropout_rng,
             deterministic=False,
             compute_dtype=compute_dtype,
             logits_dtype=compute_dtype if use_pallas else jnp.float32,
@@ -172,15 +186,52 @@ def train_step(
         if use_pallas:
             from ..ops.pallas_kernels import softmax_cross_entropy_pallas
 
-            ce = softmax_cross_entropy_pallas(logits, label_ids, sample_mask)
+            ce = softmax_cross_entropy_pallas(logits, lb, mk)
         else:
-            ce_px = softmax_cross_entropy_with_ids(logits, label_ids)
-            mask = sample_mask.reshape(sample_mask.shape + (1,) * (ce_px.ndim - 1))
-            ce = jnp.sum(ce_px * mask) / (jnp.sum(sample_mask) * (ce_px.size // ce_px.shape[0]))
+            ce_px = softmax_cross_entropy_with_ids(logits, lb)
+            m = mk.reshape(mk.shape + (1,) * (ce_px.ndim - 1))
+            # max(.,1): an all-padding microbatch (possible under grad_accum
+            # when the batch pads up to the mesh multiple) must yield 0, not
+            # 0/0 — its accumulation weight is 0 but NaN*0 is NaN.
+            ce = jnp.sum(ce_px * m) / jnp.maximum(
+                jnp.sum(mk) * (ce_px.size // ce_px.shape[0]), 1.0)
         reg = jnp.asarray(l2_rate, jnp.float32) * decoder_l2_loss(params["decoder"])
         return ce + reg
 
-    total_loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    if grad_accum > 1:
+        n = images.shape[0]
+        if n % grad_accum:
+            raise ValueError(f"batch {n} not divisible by grad_accum={grad_accum}")
+        b = n // grad_accum
+        im_m = images.reshape(grad_accum, b, *images.shape[1:])
+        lb_m = label_ids.reshape(grad_accum, b, *label_ids.shape[1:])
+        mk_m = sample_mask.reshape(grad_accum, b)
+        # weight each microbatch by its real-sample share: the weighted sum
+        # of per-microbatch masked-mean gradients IS the full-batch masked
+        # mean (every real sample covers the same pixel count). The reg
+        # term rides along exactly (weights sum to 1).
+        counts = mk_m.sum(axis=1)
+        weights = counts / jnp.maximum(counts.sum(), 1.0)
+
+        def body(carry, xs):
+            g_acc, loss_acc = carry
+            im_i, lb_i, mk_i, w_i, idx = xs
+            rng_i = jax.random.fold_in(step_rng, idx)
+            loss_i, g_i = jax.value_and_grad(loss_for)(
+                state.params, im_i, lb_i, mk_i, rng_i
+            )
+            g_acc = jax.tree.map(lambda a, g: a + w_i * g, g_acc, g_i)
+            return (g_acc, loss_acc + w_i * loss_i), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, total_loss), _ = jax.lax.scan(
+            body, (zeros, jnp.zeros((), jnp.float32)),
+            (im_m, lb_m, mk_m, weights, jnp.arange(grad_accum)),
+        )
+    else:
+        total_loss, grads = jax.value_and_grad(
+            lambda p: loss_for(p, images, label_ids, sample_mask, step_rng)
+        )(state.params)
     opt_state = _set_lr(state.opt_state, learning_rate)
     updates, opt_state = optimizer.update(grads, opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -213,7 +264,8 @@ def eval_step(params, metrics_state, images, label_ids, sample_mask, *,
     else:
         ce_px = softmax_cross_entropy_with_ids(logits, label_ids)
         mask = sample_mask.reshape(sample_mask.shape + (1,) * (ce_px.ndim - 1))
-        loss = jnp.sum(ce_px * mask) / (jnp.sum(sample_mask) * (ce_px.size // ce_px.shape[0]))
+        loss = jnp.sum(ce_px * mask) / jnp.maximum(
+            jnp.sum(sample_mask) * (ce_px.size // ce_px.shape[0]), 1.0)
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return update_metrics_state(
         metrics_state, loss=loss, pred_ids=pred, gt_ids=label_ids.astype(jnp.int32),
@@ -258,7 +310,7 @@ def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloa
 
 def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = True,
                        compute_dtype=jnp.bfloat16, example_state=None, donate: bool = True,
-                       augment_fn=None, remat: bool = False):
+                       augment_fn=None, remat: bool = False, grad_accum: int = 1):
     """jit the train step with mesh shardings: batch over 'data', params per
     the TP rules, carried state donated (in-place update, halves HBM)."""
     from .mesh import batch_sharding, param_sharding_tree, replicated
@@ -281,7 +333,8 @@ def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = 
         state_shardings = None
 
     fn = partial(train_step, optimizer=optimizer, num_classes=num_classes,
-                 compute_dtype=compute_dtype, augment_fn=augment_fn, remat=remat)
+                 compute_dtype=compute_dtype, augment_fn=augment_fn, remat=remat,
+                 grad_accum=grad_accum)
     return jax.jit(
         fn,
         in_shardings=(state_shardings, data, data, data, rep, rep, rep, rep),

@@ -93,6 +93,26 @@ def test_predict_argmax_and_softmax(trained_model):
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
 
 
+def test_train_with_gradient_accumulation_learns():
+    """Facade gradient_accumulation: 2 microbatches per step, same learning
+    behavior (exactness vs full batch is pinned in tests/test_parallel.py)."""
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch(n=4)
+    model.train(
+        train_generator=_repeat_batches(images, labels),
+        epochs=1,
+        steps_per_epoch=15,
+        learning_rate_schedule=constant(2e-3),
+        keep_prob=1.0,
+        eval_frequency=10,
+        record_summaries=False,
+        gradient_accumulation=2,
+    )
+    assert model.training_loss < 0.9
+    assert int(model.state.step) == 15
+    model.close()
+
+
 def test_predict_quantized_agrees(trained_model):
     """Facade int8 path (ops/quantize.py): same shape/dtype contract as the
     float path and high argmax agreement on the overfit model."""

@@ -186,3 +186,36 @@ def test_spatial_and_tp_mutually_exclusive(model_state):
     with pytest.raises(ValueError, match="mutually exclusive"):
         compile_predict_step(mesh, example_params=state.params,
                              tensor_parallel=True, spatial_partition=True)
+
+
+def test_grad_accum_matches_full_batch(model_state, rng):
+    """grad_accum=2 is the full-batch gradient exactly (math identity:
+    microbatch gradients weighted by real-sample share). keep_prob=1 so no
+    per-microbatch dropout keys enter."""
+    state, optimizer = model_state
+    images, labels, mask = _batch(rng, 4)
+    mask[-1] = 0.0  # include a padding sample: weights must track real counts
+    key = jax.random.PRNGKey(7)
+    mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+    kw = dict(compute_dtype=jnp.float32, example_state=state, donate=False)
+    step_full = compile_train_step(mesh, optimizer, NUM_CLASSES, **kw)
+    step_acc = compile_train_step(mesh, optimizer, NUM_CLASSES, grad_accum=2, **kw)
+    im, lb, mk = shard_batch(mesh, images, labels, mask)
+    new_f, loss_f = step_full(state, im, lb, mk, key, 1e-3, 0.0, 1.0)
+    new_a, loss_a = step_acc(state, im, lb, mk, key, 1e-3, 0.0, 1.0)
+    np.testing.assert_allclose(float(loss_a), float(loss_f), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(new_a.params), jax.tree.leaves(new_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    assert int(new_a.step) == 1
+
+
+def test_grad_accum_rejects_indivisible(model_state, rng):
+    state, optimizer = model_state
+    images, labels, mask = _batch(rng, 4)
+    mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+    step = compile_train_step(mesh, optimizer, NUM_CLASSES, grad_accum=3,
+                              compute_dtype=jnp.float32, example_state=state,
+                              donate=False)
+    im, lb, mk = shard_batch(mesh, images, labels, mask)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, im, lb, mk, jax.random.PRNGKey(0), 1e-3, 0.0, 1.0)
