@@ -692,10 +692,12 @@ class FCN8s:
         ``quantized=True`` runs the int8 encoder (ops/quantize.py): dynamic
         per-tensor int8 activations x per-channel int8 weights on the MXU,
         bf16 decoder. Params are quantized lazily and re-quantized after any
-        training. Measured v5e @8x1024x512: 37.2 vs 39.2 ms/batch fwd
-        (modest — this model's forward is HBM-bound, not MXU-bound; the
-        int8 win grows with arithmetic intensity), argmax agreement >= 97%
-        on a trained model (tests/test_quantize.py)."""
+        training. Measured v5e @8x1024x512: wall-time parity with the bf16
+        path (37-38 ms/batch both) — the fc6 conv itself halves (2.24 vs
+        4.36 ms, the real 2x int8 MXU win) but the HBM-bound conv1/conv2
+        blocks pay extra quantize passes; the win grows with arithmetic
+        intensity. Argmax agreement >= 97% on a trained model
+        (tests/test_quantize.py)."""
         padded, (n, h, w) = self._prepare_images(images)
         ov = self._overlay_lut(overlay) if overlay is not None else None
         out = np.asarray(self._dispatch_predict(padded, argmax, spatial_partition, ov,

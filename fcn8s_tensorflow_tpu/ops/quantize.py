@@ -7,12 +7,14 @@ halves the compute-bound portion of inference. This module implements the
 TPU-native recipe:
 
 * **weights**: per-output-channel symmetric int8 (scale = max|w| / 127 per
-  output channel) — the standard accuracy-preserving choice for convs (measured on this hardware:
-  full-width fwd @8x1024x512 37.2 ms int8 vs 39.2 ms bf16 — a modest 5%
-  because this model's forward is HBM-bound around the conv1/conv2 blocks,
-  not MXU-bound; argmax agreement 94.5% even on a random-init model whose
-  logits sit in the noise regime, >=97% asserted on a trained model in
-  tests/test_quantize.py);
+  output channel) — the standard accuracy-preserving choice for convs (measured on this hardware,
+  full-width fwd @8x1024x512: per-op profile shows the fc6 conv at 2.24 ms
+  int8 vs 4.36 ms bf16 — the 2x MXU win is real where arithmetic intensity
+  is high — but wall time lands at parity with bf16 (37-38 ms/batch both)
+  because the conv1/conv2 blocks are HBM-bound and pay extra
+  quantize/dequantize passes there; argmax agreement 94.5% even on a
+  random-init model whose logits sit in the noise regime, >=97% asserted
+  on a trained model in tests/test_quantize.py);
 * **activations**: dynamic per-tensor symmetric int8 (scale from the
   current tensor's max|x|), computed on device inside the same executable —
   no calibration dataset needed, which matters here because the framework

@@ -251,8 +251,12 @@ def eval_step(params, metrics_state, images, label_ids, sample_mask, *,
     `_evaluate`, `fcn8s_tensorflow.py:685-689`). The confusion-matrix /
     accuracy accumulators live on device; across the 'data' axis XLA reduces
     them because the out-sharding is replicated. ``sample_mask`` excludes
-    batch-padding samples exactly."""
-    logits = apply_fcn8s(params, images, deterministic=True, compute_dtype=compute_dtype)
+    batch-padding samples exactly.
+
+    Logits stay in ``compute_dtype`` (see ``predict_step``: the fp32 upcast
+    adds no information; both CE formulations upcast internally)."""
+    logits = apply_fcn8s(params, images, deterministic=True,
+                         compute_dtype=compute_dtype, logits_dtype=compute_dtype)
     if use_pallas_ce is None:
         use_pallas_ce = _on_tpu()  # Pallas kernels need the TPU backend
     if use_pallas_ce:
@@ -289,13 +293,23 @@ def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloa
     3 uint8 channels instead of ids + a host-side blend.
 
     ``quantized``: ``params`` is a ``quantize_fcn8s_params`` tree; the
-    encoder runs int8 on the MXU (2x bf16 peak on v5e — ops/quantize.py)."""
+    encoder runs int8 on the MXU (2x bf16 peak on v5e — ops/quantize.py).
+
+    Logits stay in ``compute_dtype``: the final conv computes in it anyway,
+    so the fp32 upcast adds no information — argmax is identical (monotonic
+    cast, same tie order) and softmax upcasts per-element inside its fusion.
+    Keeping the full-res logits narrow halves the biggest tensor's HBM
+    traffic through the depth-to-space transpose and the argmax (measured
+    v5e @8x1024x512: the f32 relayout copy alone was 3.5 ms/batch)."""
     if quantized:
         from ..ops.quantize import apply_fcn8s_int8
 
-        logits = apply_fcn8s_int8(params, images, compute_dtype=compute_dtype)
+        logits = apply_fcn8s_int8(params, images, compute_dtype=compute_dtype,
+                                  logits_dtype=compute_dtype)
     else:
-        logits = apply_fcn8s(params, images, deterministic=True, compute_dtype=compute_dtype)
+        logits = apply_fcn8s(params, images, deterministic=True,
+                             compute_dtype=compute_dtype,
+                             logits_dtype=compute_dtype)
     if overlay_lut is not None:
         pred = jnp.argmax(logits, axis=-1)
         rgba = jnp.asarray(overlay_lut, jnp.float32)[pred]  # (N,H,W,4)
@@ -305,7 +319,7 @@ def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloa
         return jnp.floor(out).astype(jnp.uint8)
     if argmax:
         return jnp.argmax(logits, axis=-1).astype(id_dtype)
-    return jax.nn.softmax(logits, axis=-1)
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
 
 def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = True,
