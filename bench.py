@@ -121,9 +121,15 @@ def main():
         f"-> {batched_imgs_per_sec:.1f} img/s")
 
     # ---- batched pipelined inference, int8-quantized encoder ----
-    from fcn8s_tensorflow_tpu.ops.quantize import quantize_fcn8s_params
+    # calibrated-static activation scales: measured 30.0 vs 35.6 ms/batch8
+    # compute vs dynamic quantization (ops/quantize.py)
+    from fcn8s_tensorflow_tpu.ops.quantize import (
+        collect_activation_absmax,
+        quantize_fcn8s_params,
+    )
 
-    qparams = jax.jit(quantize_fcn8s_params)(state.params)
+    absmax = jax.jit(collect_activation_absmax)(state.params, b8)
+    qparams = jax.jit(quantize_fcn8s_params)(state.params, absmax)
     pred_q = compile_predict_step(
         mesh, argmax=True, example_params=qparams, id_dtype=jnp.uint8,
         quantized=True,

@@ -15,10 +15,14 @@ TPU-native recipe:
   quantize/dequantize passes there; argmax agreement 94.5% even on a
   random-init model whose logits sit in the noise regime, >=97% asserted
   on a trained model in tests/test_quantize.py);
-* **activations**: dynamic per-tensor symmetric int8 (scale from the
-  current tensor's max|x|), computed on device inside the same executable —
-  no calibration dataset needed, which matters here because the framework
-  ships without Cityscapes access;
+* **activations**: per-tensor symmetric int8, two modes —
+  **dynamic** (scale from the current tensor's max|x|, on device in the
+  same executable; no calibration data needed) and **calibrated static**
+  (``collect_activation_absmax`` freezes per-layer scales, making
+  quantization a pure elementwise epilogue). Measured v5e @8x1024x512
+  argmax predict: bf16 37.6 ms, int8 dynamic 35.6 ms, int8 static
+  **30.0 ms** (-20% vs bf16) — the dynamic mode's per-layer max|x|
+  reduction passes are what ate the MXU win;
 * **accumulation**: int8 x int8 -> int32 on the MXU
   (``preferred_element_type=int32``), dequantized into the compute dtype,
   bias added in float.
@@ -58,8 +62,10 @@ def quantize_kernel_per_channel(kernel: jnp.ndarray):
     return q, scale
 
 
-def quantize_vgg16_params(encoder_params: dict) -> dict:
-    """Per-layer {'kernel_q', 'scale', 'bias'} tree for the encoder convs."""
+def quantize_vgg16_params(encoder_params: dict, act_absmax: dict | None = None) -> dict:
+    """Per-layer {'kernel_q', 'scale', 'bias'[, 'act_scale']} tree for the
+    encoder convs. ``act_absmax`` (from ``collect_activation_absmax``) adds
+    calibrated static activation scales."""
     out = {}
     for name, layer in encoder_params.items():
         q, scale = quantize_kernel_per_channel(layer["kernel"])
@@ -68,28 +74,40 @@ def quantize_vgg16_params(encoder_params: dict) -> dict:
             "scale": scale,
             "bias": layer["bias"].astype(jnp.float32),
         }
+        if act_absmax is not None:
+            out[name]["act_scale"] = jnp.maximum(
+                jnp.asarray(act_absmax[name], jnp.float32), 1e-12) / INT8_MAX
     return out
 
 
-def _quantize_activation(x, compute_dtype):
-    """Dynamic per-tensor symmetric int8. Returns (x_q, scale: f32 scalar).
+def _quantize_activation(x, compute_dtype, static_scale=None):
+    """Per-tensor symmetric int8. Returns (x_q, scale: f32 scalar).
 
-    The max|x| reduction fuses with the producing op's epilogue under XLA;
-    post-ReLU tensors are non-negative but we keep the symmetric formula
-    (the MXU has no asymmetric-zero-point path worth the correction term).
+    Dynamic mode (``static_scale=None``): scale from the current tensor's
+    max|x| — the reduction fuses with the producing op's epilogue under XLA
+    but still costs an extra pass over HBM-bound activations. Static mode:
+    use a calibration-time scale (``collect_activation_absmax``), making
+    quantization a pure elementwise epilogue. Post-ReLU tensors are
+    non-negative but we keep the symmetric formula (the MXU has no
+    asymmetric-zero-point path worth the correction term).
     """
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.maximum(absmax, 1e-12) / INT8_MAX
+    if static_scale is None:
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        scale = jnp.maximum(absmax, 1e-12) / INT8_MAX
+    else:
+        scale = jnp.asarray(static_scale, jnp.float32)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -INT8_MAX, INT8_MAX)
     return xq.astype(jnp.int8), scale
 
 
 def conv2d_int8(x, qlayer: dict, *, strides=(1, 1), padding="SAME",
                 compute_dtype=jnp.bfloat16):
-    """Quantized conv: dynamic-int8 activations x per-channel-int8 kernel,
+    """Quantized conv: int8 activations (dynamic, or static via a
+    calibrated ``act_scale`` in ``qlayer``) x per-channel-int8 kernel,
     int32 MXU accumulation, float dequant + bias. Drop-in for
     ``ops.nn.conv2d`` (inference only)."""
-    xq, x_scale = _quantize_activation(x, compute_dtype)
+    xq, x_scale = _quantize_activation(x, compute_dtype,
+                                       static_scale=qlayer.get("act_scale"))
     acc = lax.conv_general_dilated(
         xq,
         qlayer["kernel_q"],
@@ -130,11 +148,47 @@ def apply_vgg16_int8(qparams: dict, images, *, compute_dtype=jnp.bfloat16,
     return pool3, pool4, x
 
 
-def quantize_fcn8s_params(params: dict) -> dict:
+def collect_activation_absmax(params: dict, images, *, compute_dtype=jnp.bfloat16,
+                              normalize: bool = True) -> dict:
+    """Calibration pass: run the float encoder on ``images`` and record each
+    quantized conv's INPUT max|x| (layer name -> f32 scalar). Jit-safe; for
+    multi-batch calibration, tree-max the per-batch results
+    (``jax.tree.map(jnp.maximum, a, b)``)."""
+    from ..models.vgg16 import VGG16_CONV_LAYERS, VGG_MEAN_RGB, _BLOCK_ENDS
+    from .nn import conv2d
+
+    x = images.astype(jnp.float32)
+    if normalize:
+        x = x - jnp.asarray(VGG_MEAN_RGB, jnp.float32)
+    x = x.astype(compute_dtype)
+
+    absmax = {}
+
+    def observe(name, x):
+        absmax[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+    for name, _, _ in VGG16_CONV_LAYERS:
+        observe(name, x)
+        layer = params["encoder"][name]
+        x = jax.nn.relu(conv2d(x, layer["kernel"], layer["bias"]))
+        if name in _BLOCK_ENDS:
+            x = max_pool_2x2(x)
+    observe("fc6", x)
+    x = jax.nn.relu(conv2d(x, params["encoder"]["fc6"]["kernel"],
+                           params["encoder"]["fc6"]["bias"]))
+    observe("fc7", x)
+    return absmax
+
+
+def quantize_fcn8s_params(params: dict, act_absmax: dict | None = None) -> dict:
     """Full-model quantized param tree: int8 encoder + the original (float)
-    decoder (see module docstring for why the decoder stays bf16)."""
+    decoder (see module docstring for why the decoder stays bf16).
+
+    ``act_absmax`` (from ``collect_activation_absmax``, optionally
+    tree-maxed over several calibration batches) switches the activation
+    quantization from dynamic to calibrated-static scales."""
     return {
-        "encoder_q": quantize_vgg16_params(params["encoder"]),
+        "encoder_q": quantize_vgg16_params(params["encoder"], act_absmax),
         "decoder": params["decoder"],
     }
 

@@ -132,3 +132,39 @@ def _train_update(params, opt_state, loss_fn, opt):
     import optax
 
     return optax.apply_updates(params, updates), opt_state
+
+
+def test_static_calibration_matches_dynamic_on_calibration_data(rng):
+    """When calibrated on the same images it later sees, the static path's
+    scales equal the dynamic path's (same max|x|), so outputs match to
+    rounding."""
+    from fcn8s_tensorflow_tpu.ops.quantize import collect_activation_absmax
+
+    params = _tiny_model()
+    images = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), np.uint8))
+    absmax = collect_activation_absmax(params, images, compute_dtype=jnp.float32)
+    assert set(absmax) == {n for n, _, _ in __import__(
+        "fcn8s_tensorflow_tpu.models.vgg16", fromlist=["VGG16_CONV_LAYERS"]
+    ).VGG16_CONV_LAYERS} | {"fc6", "fc7"}
+    q_dyn = quantize_fcn8s_params(params)
+    q_static = quantize_fcn8s_params(params, absmax)
+    assert "act_scale" in q_static["encoder_q"]["conv1_1"]
+    out_d = apply_fcn8s_int8(q_dyn, images, compute_dtype=jnp.float32)
+    out_s = apply_fcn8s_int8(q_static, images, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_facade_calibrate_quantization(rng):
+    from fcn8s_tensorflow_tpu.engine.model import FCN8s
+
+    model = FCN8s(num_classes=4, width_mult=1 / 16, fc_channels=64,
+                  compute_dtype=jnp.float32)
+    images = rng.integers(0, 255, (3, 32, 64, 3), np.uint8)
+    absmax = model.calibrate_quantization(images, batch_size=2)
+    assert "conv1_1" in absmax and float(absmax["conv1_1"]) > 0
+    q = model._quantized_params()
+    assert "act_scale" in q["encoder_q"]["fc7"]
+    pred = model.predict(images, quantized=True)
+    assert pred.shape == (3, 32, 64)
+    model.close()
