@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 
 import jax
@@ -100,11 +101,55 @@ def _prune_old_checkpoints(parent: str, max_to_keep: int) -> None:
     checkpoints = [
         os.path.join(parent, d)
         for d in os.listdir(parent)
-        if os.path.isfile(os.path.join(parent, d, "checkpoint.msgpack"))
+        if not d.endswith(".tmp")  # in-flight async writes are not checkpoints
+        and os.path.isfile(os.path.join(parent, d, "checkpoint.msgpack"))
     ]
     checkpoints.sort(key=os.path.getmtime)
     for stale in checkpoints[:-max_to_keep]:
         shutil.rmtree(stale, ignore_errors=True)
+
+
+def save_checkpoint_async(directory: str, state, metadata: dict, *,
+                          max_to_keep: int | None = None):
+    """Non-blocking ``save_checkpoint``: snapshot the (possibly donated)
+    device state with an on-device copy — async dispatch, so the train loop
+    keeps stepping — then run the D2H gather + serialization on a writer
+    thread. Returns a ``threading.Thread`` (already started); ``join()`` it
+    before reading the checkpoint or exiting.
+
+    Why the device-side copy is required: the training step donates its
+    carried ``TrainState`` (in-place HBM update), so by the time a
+    background thread gathered the ORIGINAL arrays the next step would
+    have invalidated them. The copy pins a consistent snapshot for the
+    thread at the cost of one transient state-sized HBM allocation.
+
+    The write lands in ``directory + '.tmp'`` and is atomically renamed,
+    so a crash mid-save never leaves a half-written "latest" checkpoint
+    (``latest_checkpoint`` only sees completed ones).
+    """
+    snapshot = jax.tree.map(
+        lambda x: jnp_copy(x) if isinstance(x, jax.Array) else x, state
+    )
+
+    def _write():
+        tmp = directory.rstrip("/") + ".tmp"
+        save_checkpoint(tmp, snapshot, metadata, max_to_keep=None)
+        if os.path.isdir(directory):
+            shutil.rmtree(directory)
+        os.rename(tmp, directory)
+        if max_to_keep is not None:
+            _prune_old_checkpoints(os.path.dirname(directory.rstrip("/")), max_to_keep)
+
+    thread = threading.Thread(target=_write, name="ckpt-writer", daemon=True)
+    thread.start()
+    return thread
+
+
+def jnp_copy(x):
+    """Device-side copy (async dispatch; does NOT force a host sync)."""
+    import jax.numpy as jnp
+
+    return jnp.array(x, copy=True)
 
 
 def load_metadata(directory: str) -> dict:
@@ -173,6 +218,7 @@ def latest_checkpoint(parent: str) -> str | None:
     candidates = [
         os.path.join(parent, d)
         for d in os.listdir(parent)
-        if os.path.isfile(os.path.join(parent, d, "checkpoint.msgpack"))
+        if not d.endswith(".tmp")  # skip in-flight async writes
+        and os.path.isfile(os.path.join(parent, d, "checkpoint.msgpack"))
     ]
     return max(candidates, key=os.path.getmtime) if candidates else None

@@ -533,6 +533,7 @@ class FCN8s:
                         saver=saver,
                         tags=save_tags,
                         name=save_name or None,
+                        block=False,  # overlap D2H + serialization with training
                     )
 
             # --- best-value bookkeeping (reference `:649-658`) ---
@@ -549,6 +550,7 @@ class FCN8s:
         if logger is not None:
             logger.flush()
         self._close_train_stream()
+        self._join_pending_save()  # don't return with a checkpoint mid-write
 
     def _make_train_stream(self, train_generator, prefetch: int):
         """Iterator of device-resident (images, label_ids, mask) triples.
@@ -890,11 +892,22 @@ class FCN8s:
         include_last_training_loss=True,
         include_metrics=True,
         force_save=False,
+        block=True,
     ):
         """Save a full self-describing checkpoint with the reference's
         directory naming scheme and dirty-flag skip
         (`fcn8s_tensorflow.py:857-936`). ``saver``/``tags`` accepted for
-        parity; both backends map to the msgpack format."""
+        parity; both backends map to the msgpack format.
+
+        ``block=False`` saves asynchronously: the device state is snapshot
+        with an on-device copy (async dispatch — training isn't stalled)
+        and the D2H gather + serialization run on a writer thread with an
+        atomic directory rename (engine/checkpoint.py
+        ``save_checkpoint_async``). On this host the D2H gather of the
+        ~1.6 GB state dominates save time, so periodic in-training saves
+        (``train(save_during_training=True)``) use this path to overlap it
+        with subsequent steps. The previous writer is joined first (one
+        save in flight at a time)."""
         if not self.variables_updated and not force_save:
             print("Abort: Nothing to save, no training has been performed since the model was last saved.")
             return None
@@ -926,9 +939,21 @@ class FCN8s:
             "metrics": metric_values or {},
             "saved_at": time.time(),
         }
-        ckpt.save_checkpoint(directory, self.state, metadata, max_to_keep=5)
+        self._join_pending_save()
+        if block:
+            ckpt.save_checkpoint(directory, self.state, metadata, max_to_keep=5)
+        else:
+            self._save_thread = ckpt.save_checkpoint_async(
+                directory, self.state, metadata, max_to_keep=5
+            )
         self.variables_updated = False
         return directory
+
+    def _join_pending_save(self):
+        thread = getattr(self, "_save_thread", None)
+        if thread is not None:
+            thread.join()
+            self._save_thread = None
 
     def load_variables(self, path):
         """Restore model params only (reference `load_variables`,
@@ -939,9 +964,11 @@ class FCN8s:
 
     def close(self):
         """Release resources (the reference closes its tf.Session,
-        `fcn8s_tensorflow.py:946-951`; here: stop the prefetch worker and
-        flush/close summary writers — device buffers are GC-managed)."""
+        `fcn8s_tensorflow.py:946-951`; here: stop the prefetch worker, join
+        any in-flight async checkpoint write, and flush/close summary
+        writers — device buffers are GC-managed)."""
         self._close_train_stream()
+        self._join_pending_save()
         if self._summary_logger is not None:
             self._summary_logger.close()
             self._summary_logger = None

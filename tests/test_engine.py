@@ -168,6 +168,31 @@ def test_save_load_roundtrip(trained_model, tmp_path):
     np.testing.assert_array_equal(pred_a, pred_b)
 
 
+def test_save_async_roundtrip(trained_model, tmp_path):
+    """block=False: snapshot-on-device + writer thread + atomic rename;
+    the checkpoint must be byte-equivalent to a blocking save's state."""
+    import fcn8s_tensorflow_tpu.engine.checkpoint as ckpt_mod
+
+    model, images, _ = trained_model
+    model.variables_updated = True
+    path = model.save(str(tmp_path / "async"), block=False)
+    assert model._save_thread is not None
+    model._join_pending_save()
+    assert os.path.isfile(os.path.join(path, "checkpoint.msgpack"))
+    assert not os.path.isdir(path + ".tmp")  # rename completed
+    reloaded = FCN8s(model_load_dir=path, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(model.predict(images), reloaded.predict(images))
+    # a second save joins the previous thread first
+    model.variables_updated = True
+    model.save(str(tmp_path / "async2"), block=False)
+    model.close()  # close() joins too
+    assert model._save_thread is None
+    # in-flight .tmp dirs are invisible to latest_checkpoint
+    os.makedirs(str(tmp_path / "async3" / "x.tmp"), exist_ok=True)
+    open(str(tmp_path / "async3" / "x.tmp" / "checkpoint.msgpack"), "wb").close()
+    assert ckpt_mod.latest_checkpoint(str(tmp_path / "async3")) is None
+
+
 def test_save_dirty_flag(trained_model, tmp_path):
     model, _, _ = trained_model
     model.variables_updated = False
