@@ -223,12 +223,14 @@ class FCN8s:
                 self.mesh,
                 self.optimizer,
                 self.num_classes,
-                tensor_parallel=self.tensor_parallel,
+                tensor_parallel=(self.tensor_parallel
+                                 and not getattr(self, "_train_spatial", False)),
                 compute_dtype=self.compute_dtype,
                 example_state=self.state,
                 augment_fn=getattr(self, "_augment_fn", None),
                 remat=self.remat,
                 grad_accum=getattr(self, "_grad_accum", 1),
+                spatial_partition=getattr(self, "_train_spatial", False),
             )
         return self._train_steps[batch_shape]
 
@@ -385,6 +387,7 @@ class FCN8s:
         device_augment=None,
         prefetch=2,
         gradient_accumulation=1,
+        spatial_partition=False,
     ):
         """Train the model. Argument semantics follow the reference
         (`fcn8s_tensorflow.py:399-523`): the generator yields (images,
@@ -415,6 +418,12 @@ class FCN8s:
         activation memory drops to a microbatch's worth, so the reference's
         canonical batch-16 config (BASELINE.md) fits at full resolution
         (pairs with ``remat=True`` for the extreme cases).
+
+        ``spatial_partition=True`` (TPU-native extra): shard the width dim
+        over the mesh's 'model' axis during TRAINING — GSPMD conv halo
+        exchanges in forward and backward (parallel/steps.py). For
+        mega-resolution training where one chip's activation HBM binds;
+        requires a mesh with a >1 'model' axis, excludes tensor_parallel.
         """
         # --- validation (reference `:511-529`) ---
         metrics = set(metrics)  # the reference's default `{}` is a dict literal
@@ -434,6 +443,9 @@ class FCN8s:
         if gradient_accumulation != getattr(self, "_grad_accum", 1):
             self._train_steps.clear()  # accumulation is baked into the executable
         self._grad_accum = gradient_accumulation
+        if spatial_partition != getattr(self, "_train_spatial", False):
+            self._train_steps.clear()  # sharding layout is baked in
+        self._train_spatial = spatial_partition
 
         if device_augment is not None:
             from ..ops.augment_device import make_augment_fn
@@ -570,17 +582,28 @@ class FCN8s:
                 )
                 yield images_p, np.ascontiguousarray(label_ids_p), mask
 
+        if getattr(self, "_train_spatial", False):
+            from jax.sharding import NamedSharding
+
+            from ..parallel.mesh import spatial_spec
+
+            sp = NamedSharding(self.mesh, spatial_spec())
+            shardings = (sp, sp, batch_sharding(self.mesh))
+        else:
+            shardings = batch_sharding(self.mesh)
+
         if prefetch and prefetch > 0:
             from ..data.prefetch import DevicePrefetcher
 
             self._train_stream = DevicePrefetcher(
-                host_pipeline(), batch_sharding(self.mesh), depth=prefetch
+                host_pipeline(), shardings, depth=prefetch
             )
             return self._train_stream
 
         def sync_stream():
-            for images, label_ids, mask in host_pipeline():
-                yield self._put_batch(images, label_ids, mask)
+            sh = shardings if isinstance(shardings, tuple) else (shardings,) * 3
+            for arrays in host_pipeline():
+                yield tuple(jax.device_put(a, s) for a, s in zip(arrays, sh))
 
         self._train_stream = None
         return sync_stream()

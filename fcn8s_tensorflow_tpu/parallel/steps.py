@@ -324,13 +324,36 @@ def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloa
 
 def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = True,
                        compute_dtype=jnp.bfloat16, example_state=None, donate: bool = True,
-                       augment_fn=None, remat: bool = False, grad_accum: int = 1):
+                       augment_fn=None, remat: bool = False, grad_accum: int = 1,
+                       spatial_partition: bool = False, use_pallas_ce: bool | None = None):
     """jit the train step with mesh shardings: batch over 'data', params per
-    the TP rules, carried state donated (in-place update, halves HBM)."""
-    from .mesh import batch_sharding, param_sharding_tree, replicated
+    the TP rules, carried state donated (in-place update, halves HBM).
 
+    ``spatial_partition=True`` additionally shards the images/labels WIDTH
+    dim over the 'model' axis — the training-side analog of sequence
+    parallelism for this CNN (SURVEY.md §2): GSPMD inserts the conv halo
+    exchanges in BOTH the forward and the backward (conv transposes are
+    convs), and the loss/grad reductions ride the same collectives. Params
+    replicate over 'model' (mutually exclusive with tensor_parallel). For
+    training at full 1024x2048 Cityscapes resolution when one chip's
+    activation HBM is the binding constraint (pairs with remat/grad_accum).
+    The Pallas CE kernel is not GSPMD-partitionable over width, so this
+    mode forces the composite XLA loss (same math; `use_pallas_ce=False`)."""
+    from jax.sharding import NamedSharding
+
+    from .mesh import batch_sharding, param_sharding_tree, replicated, spatial_spec
+
+    if spatial_partition and tensor_parallel:
+        raise ValueError("spatial_partition and tensor_parallel are mutually exclusive")
     rep = replicated(mesh)
-    data = batch_sharding(mesh)
+    if spatial_partition:
+        data = NamedSharding(mesh, spatial_spec())
+        mask_sharding = batch_sharding(mesh)
+        tensor_parallel = False
+        use_pallas_ce = False
+    else:
+        data = batch_sharding(mesh)
+        mask_sharding = data
 
     if example_state is not None:
         p_shard = param_sharding_tree(mesh, example_state.params, tensor_parallel=tensor_parallel)
@@ -348,10 +371,10 @@ def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = 
 
     fn = partial(train_step, optimizer=optimizer, num_classes=num_classes,
                  compute_dtype=compute_dtype, augment_fn=augment_fn, remat=remat,
-                 grad_accum=grad_accum)
+                 grad_accum=grad_accum, use_pallas_ce=use_pallas_ce)
     return jax.jit(
         fn,
-        in_shardings=(state_shardings, data, data, data, rep, rep, rep, rep),
+        in_shardings=(state_shardings, data, data, mask_sharding, rep, rep, rep, rep),
         out_shardings=(state_shardings, rep),
         donate_argnums=(0,) if donate else (),
     )

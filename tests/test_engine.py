@@ -389,3 +389,25 @@ def test_predict_spatial_partition_matches_default():
     a = model.predict(images)
     b = model.predict(images, spatial_partition=True)
     np.testing.assert_array_equal(a, b)
+
+
+def test_train_spatial_partitioned_facade():
+    """Facade spatial-partitioned training on a (2 data x 4 model) mesh."""
+    from fcn8s_tensorflow_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=2, model=4)
+    model = FCN8s(num_classes=NUM_CLASSES, mesh=mesh, **TINY)
+    images, labels = _toy_batch(n=2)
+    model.train(
+        train_generator=_repeat_batches(images, labels),
+        epochs=1,
+        steps_per_epoch=12,
+        learning_rate_schedule=constant(2e-3),
+        keep_prob=1.0,
+        eval_frequency=10,
+        record_summaries=False,
+        spatial_partition=True,
+    )
+    assert model.training_loss < 1.0
+    assert (model.predict(images) == labels).mean() > 0.5
+    model.close()

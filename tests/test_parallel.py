@@ -219,3 +219,53 @@ def test_grad_accum_rejects_indivisible(model_state, rng):
     im, lb, mk = shard_batch(mesh, images, labels, mask)
     with pytest.raises(ValueError, match="not divisible"):
         step(state, im, lb, mk, jax.random.PRNGKey(0), 1e-3, 0.0, 1.0)
+
+
+@pytest.mark.slow
+def test_spatial_partitioned_train_step_matches_unsharded(model_state, rng):
+    """Width-sharded TRAINING (GSPMD conv halos in fwd AND bwd): one step
+    on a (2 data x 4 model) spatial mesh must match the unsharded step."""
+    from jax.sharding import NamedSharding
+
+    from fcn8s_tensorflow_tpu.parallel.mesh import spatial_spec
+
+    state, optimizer = model_state
+    images, labels, mask = _batch(rng, 2)
+    key = jax.random.PRNGKey(3)
+
+    mesh1 = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+    step1 = compile_train_step(mesh1, optimizer, NUM_CLASSES, tensor_parallel=False,
+                               compute_dtype=jnp.float32, example_state=state,
+                               donate=False, use_pallas_ce=False)
+    im1, lb1, mk1 = shard_batch(mesh1, images, labels, mask)
+    new1, loss1 = step1(state, im1, lb1, mk1, key, 1e-3, 0.0, 1.0)
+
+    mesh = create_mesh(data=2, model=4)
+    step_sp = compile_train_step(mesh, optimizer, NUM_CLASSES, tensor_parallel=False,
+                                 compute_dtype=jnp.float32, example_state=state,
+                                 donate=False, spatial_partition=True)
+    sp = NamedSharding(mesh, spatial_spec())
+    im_s = jax.device_put(images, sp)
+    lb_s = jax.device_put(labels, sp)
+    mk_s = jax.device_put(mask, NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    new_s, loss_s = step_sp(state, im_s, lb_s, mk_s, key, 1e-3, 0.0, 1.0)
+
+    np.testing.assert_allclose(float(loss_s), float(loss1), rtol=1e-5)
+    # Adam normalizes by |g|: for ~zero-grad leaves (the 1e-4-scaled pool3
+    # score head) halo-exchange reduction order flips eps-scale grads and
+    # the first update diverges RELATIVELY while staying < lr absolutely.
+    # Bound absolutely at 0.3*lr; a second step's loss pins the composed
+    # params (a systematic error would compound, rounding noise doesn't).
+    for a, b in zip(jax.tree.leaves(new_s.params), jax.tree.leaves(new1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+    _, loss_s2 = step_sp(new_s, im_s, lb_s, mk_s, key, 1e-3, 0.0, 1.0)
+    _, loss1_2 = step1(new1, im1, lb1, mk1, key, 1e-3, 0.0, 1.0)
+    np.testing.assert_allclose(float(loss_s2), float(loss1_2), rtol=1e-4)
+
+
+def test_spatial_train_rejects_tensor_parallel(model_state):
+    state, optimizer = model_state
+    mesh = create_mesh(data=4, model=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compile_train_step(mesh, optimizer, NUM_CLASSES, tensor_parallel=True,
+                           example_state=state, spatial_partition=True)
