@@ -411,3 +411,48 @@ def test_train_spatial_partitioned_facade():
     assert model.training_loss < 1.0
     assert (model.predict(images) == labels).mean() > 0.5
     model.close()
+
+
+def test_tile_grid_partitions_exactly():
+    for size, t, o in [(128, 64, 32), (96, 64, 32), (64, 64, 32), (50, 64, 0),
+                       (300, 96, 48), (130, 64, 2)]:
+        grid = FCN8s._tile_grid(size, t, o)
+        covered = []
+        for s, lo, hi in grid:
+            covered.extend(range(s + lo, s + hi))
+            assert 0 <= lo <= hi <= t
+            assert s + t <= size or t >= size
+        assert covered == list(range(size)), (size, t, o)
+
+
+def test_predict_tiled_matches_full_on_local_task():
+    """Tiled inference agrees with full inference away from tile seams.
+    Task: class = color band (locally determined, so a trained model's
+    prediction at a pixel barely depends on far context)."""
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (2, 64, 128, 3), np.uint8)
+    labels = (images.mean(-1) // 86).astype(np.uint8)  # 3 brightness bands
+
+    model = FCN8s(num_classes=3, **TINY)
+    model.train(
+        train_generator=_repeat_batches(images, labels),
+        epochs=1, steps_per_epoch=25,
+        learning_rate_schedule=constant(2e-3), keep_prob=1.0,
+        eval_frequency=10, record_summaries=False,
+    )
+    full = model.predict(images)
+    tiled = model.predict(images, tile=(64, 64), tile_overlap=32)
+    assert tiled.shape == full.shape
+    assert (tiled == full).mean() > 0.9, (tiled == full).mean()
+    # softmax variant keeps the channel axis
+    probs = model.predict(images, tile=(64, 64), tile_overlap=32, argmax=False)
+    assert probs.shape == full.shape + (3,)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-3)
+    # image smaller than the tile degenerates to full prediction
+    small = model.predict(images[:, :32, :48], tile=(64, 64))
+    assert small.shape == (2, 32, 48)
+    with pytest.raises(ValueError, match="multiples of 32"):
+        model.predict(images, tile=(60, 64))
+    with pytest.raises(ValueError, match="tile_overlap"):
+        model.predict(images, tile=(64, 64), tile_overlap=31)
+    model.close()
