@@ -1,0 +1,69 @@
+"""TF SavedModel interop round trip (tools/tf_interop.py).
+
+Export a (tiny-width) trained-ish model to a TF SavedModel, run its serving
+signature in TF, and require logits agreement with the JAX forward; then
+load the SavedModel back into a JAX param tree and require bit-identity.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # TF import + SavedModel IO
+
+
+def test_savedmodel_export_import_roundtrip(tmp_path, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from fcn8s_tensorflow_tpu.models.fcn8s import apply_fcn8s, init_fcn8s
+    from tools.tf_interop import export_tf_savedmodel, load_tf_savedmodel_params
+
+    num_classes = 5
+    params = init_fcn8s(jax.random.PRNGKey(3), num_classes, width_mult=1 / 16,
+                        fc_channels=64)
+    out = export_tf_savedmodel(params, str(tmp_path / "sm"),
+                               num_classes=num_classes, width_mult=1 / 16,
+                               fc_channels=64)
+
+    import tensorflow as tf
+
+    loaded = tf.saved_model.load(out)
+    image = rng.integers(0, 255, (1, 64, 96, 3), np.uint8)
+    served = loaded.signatures["serving_default"](image=tf.constant(image))
+    tf_logits = served["logits"].numpy()
+
+    jax_logits = np.asarray(
+        jax.jit(lambda p, x: apply_fcn8s(p, x, compute_dtype=jnp.float32))(
+            params, jnp.asarray(image))
+    )
+    assert tf_logits.shape == jax_logits.shape
+    np.testing.assert_allclose(tf_logits, jax_logits, atol=2e-4, rtol=1e-4)
+    assert (served["argmax"].numpy() == jax_logits.argmax(-1)).mean() > 0.999
+
+    restored = load_tf_savedmodel_params(out, params)
+    for (a_name, a_tree) in restored.items():
+        for layer, leafs in a_tree.items():
+            np.testing.assert_array_equal(
+                leafs["kernel"], np.asarray(params[a_name][layer]["kernel"]),
+                err_msg=f"{a_name}/{layer}/kernel")
+            np.testing.assert_array_equal(
+                leafs["bias"], np.asarray(params[a_name][layer]["bias"]))
+
+
+def test_export_from_checkpoint_dir(tmp_path):
+    import jax
+
+    from fcn8s_tensorflow_tpu.engine import checkpoint as ckpt
+    from fcn8s_tensorflow_tpu.models.fcn8s import init_fcn8s
+    from tools.tf_interop import export_tf_savedmodel
+
+    params = init_fcn8s(jax.random.PRNGKey(0), 4, width_mult=1 / 16,
+                        fc_channels=64)
+    cdir = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(cdir, params, {
+        "model_config": {"num_classes": 4, "width_mult": 1 / 16,
+                         "fc_channels": 64}})
+    out = export_tf_savedmodel(cdir, str(tmp_path / "sm2"))
+    import os
+
+    assert os.path.isfile(os.path.join(out, "saved_model.pb"))
