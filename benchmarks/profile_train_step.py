@@ -38,8 +38,11 @@ def log(*a):
 def parse_xplane(trace_dir: str, top: int = 40):
     """Aggregate per-op durations from the newest xplane.pb under trace_dir.
 
-    Returns [(op_name, total_ms, count)] sorted by total device time, summed
-    over all device-plane lines (XLA op instances)."""
+    Returns ([(op_name, total_ms, count)], device_total_ms, n_steps) for
+    ONE device plane (the first — per-chip numbers, not summed across
+    chips). ``n_steps`` is read from the plane's own "Steps" line (0 if
+    absent), so --parse-only reports per-step times for whatever step
+    count the trace was captured with."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # TF 2.21 bundles this
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
@@ -49,26 +52,33 @@ def parse_xplane(trace_dir: str, top: int = 40):
     with open(paths[-1], "rb") as f:
         space.ParseFromString(f.read())
 
+    # device planes are named "/device:TPU:N"; only the synchronous
+    # "XLA Ops" line gives additive per-op times ("Async XLA Ops" are
+    # overlapped DMA copy-starts; "XLA Modules" is the whole step).
+    plane = next(
+        (p for p in space.planes if p.name.lower().startswith("/device:")), None
+    )
+    if plane is None:
+        raise ValueError(f"no device plane in {paths[-1]}")
+
     totals: dict[str, float] = defaultdict(float)
     counts: dict[str, int] = defaultdict(int)
     device_total_ps = 0
-    for plane in space.planes:
-        # device planes are named "/device:TPU:N"; only the synchronous
-        # "XLA Ops" line gives additive per-op times ("Async XLA Ops" are
-        # overlapped DMA copy-starts; "XLA Modules" is the whole step).
-        if not plane.name.lower().startswith("/device:"):
+    n_steps = 0
+    for line in plane.lines:
+        if line.name == "Steps":
+            n_steps = len(line.events)
+        if line.name != "XLA Ops":
             continue
-        for line in plane.lines:
-            if line.name != "XLA Ops":
-                continue
-            for ev in line.events:
-                meta = plane.event_metadata[ev.metadata_id]
-                name = meta.name.split(" = ")[0] if " = " in meta.name else meta.name
-                totals[name] += ev.duration_ps / 1e9  # ps -> ms
-                counts[name] += 1
-                device_total_ps += ev.duration_ps
+        for ev in line.events:
+            meta = plane.event_metadata[ev.metadata_id]
+            name = meta.name.split(" = ")[0] if " = " in meta.name else meta.name
+            totals[name] += ev.duration_ps / 1e9  # ps -> ms
+            counts[name] += 1
+            device_total_ps += ev.duration_ps
     ranked = sorted(totals.items(), key=lambda kv: -kv[1])
-    return [(n, ms, counts[n]) for n, ms in ranked[:top]], device_total_ps / 1e9
+    return ([(n, ms, counts[n]) for n, ms in ranked[:top]],
+            device_total_ps / 1e9, n_steps)
 
 
 def main():
@@ -82,10 +92,12 @@ def main():
     args = ap.parse_args()
 
     if args.parse_only:
-        ranked, device_total_ms = parse_xplane(args.parse_only, args.top)
-        print(f"device total: {device_total_ms:.1f} ms over {args.steps} steps")
+        ranked, device_total_ms, n_steps = parse_xplane(args.parse_only, args.top)
+        steps = n_steps or args.steps
+        print(f"device total: {device_total_ms:.1f} ms over {steps} steps "
+              f"({'from trace' if n_steps else 'assumed'})")
         for name, ms, cnt in ranked:
-            print(f"{name[:60]:<60} {ms:9.2f} {ms / args.steps:8.2f} {cnt:6d}")
+            print(f"{name[:60]:<60} {ms:9.2f} {ms / steps:8.2f} {cnt:6d}")
         return
 
     import jax
@@ -126,13 +138,14 @@ def main():
     jax.profiler.stop_trace()
     log(f"trace in {trace_dir}")
 
-    ranked, device_total_ms = parse_xplane(trace_dir, args.top)
-    per_step = device_total_ms / args.steps
-    print(f"device total: {device_total_ms:.1f} ms over {args.steps} steps "
+    ranked, device_total_ms, n_steps = parse_xplane(trace_dir, args.top)
+    steps = n_steps or args.steps
+    per_step = device_total_ms / steps
+    print(f"device total: {device_total_ms:.1f} ms over {steps} steps "
           f"({per_step:.1f} ms/step)")
     print(f"{'op':<60} {'total ms':>9} {'ms/step':>8} {'count':>6}")
     for name, ms, cnt in ranked:
-        print(f"{name[:60]:<60} {ms:9.2f} {ms / args.steps:8.2f} {cnt:6d}")
+        print(f"{name[:60]:<60} {ms:9.2f} {ms / steps:8.2f} {cnt:6d}")
 
 
 if __name__ == "__main__":

@@ -56,12 +56,10 @@ def main():
 
     pred_loader = None
     if args.results:
-        def pred_loader(path):
-            from fcn8s_tensorflow_tpu.utils.cs_helpers import get_core_image_file_name
+        from fcn8s_tensorflow_tpu.viz.viewer import load_prediction
 
-            core = get_core_image_file_name(path)
-            candidates = glob(os.path.join(args.results, f"{core}*.png"))
-            return np.asarray(Image.open(candidates[0])) if candidates else None
+        def pred_loader(path):
+            return load_prediction(path, args.results)
 
     out_dir = args.out or tempfile.mkdtemp(prefix="fcn8s_viewer_")
     build_interactive_viewer(

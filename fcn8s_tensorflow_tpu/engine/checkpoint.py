@@ -132,15 +132,20 @@ def save_checkpoint_async(directory: str, state, metadata: dict, *,
     )
 
     def _write():
-        tmp = directory.rstrip("/") + ".tmp"
-        save_checkpoint(tmp, snapshot, metadata, max_to_keep=None)
-        if os.path.isdir(directory):
-            shutil.rmtree(directory)
-        os.rename(tmp, directory)
-        if max_to_keep is not None:
-            _prune_old_checkpoints(os.path.dirname(directory.rstrip("/")), max_to_keep)
+        try:
+            tmp = directory.rstrip("/") + ".tmp"
+            save_checkpoint(tmp, snapshot, metadata, max_to_keep=None)
+            if os.path.isdir(directory):
+                shutil.rmtree(directory)
+            os.rename(tmp, directory)
+            if max_to_keep is not None:
+                _prune_old_checkpoints(
+                    os.path.dirname(directory.rstrip("/")), max_to_keep)
+        except BaseException as exc:  # surfaced by the joiner, never swallowed
+            thread.exc = exc
 
     thread = threading.Thread(target=_write, name="ckpt-writer", daemon=True)
+    thread.exc = None
     thread.start()
     return thread
 

@@ -304,6 +304,12 @@ class FCN8s:
                 jnp.maximum, absmax, batch_max)
         self._act_absmax = absmax
         self._invalidate_quantized()
+        # calibration CHANGES the qparams pytree structure (adds act_scale
+        # leaves), so quantized predict executables compiled against the
+        # dynamic-mode structure must be dropped, not just the cached params
+        self._predict_steps = {
+            k: v for k, v in self._predict_steps.items() if not k[-1]
+        }
         return absmax
 
     def _invalidate_quantized(self):
@@ -333,12 +339,13 @@ class FCN8s:
             return np.argmax(labels, axis=-1).astype(np.uint8)
         return labels.astype(np.uint8)
 
-    def _pad_batch_dim(self, *arrays):
-        """Pad the batch dim up to the mesh's data-axis multiple by repeating
-        the last sample; returns (padded_arrays..., sample_mask). The mask
-        makes loss/metrics exactly short-batch despite the padding."""
+    def _pad_batch_dim(self, *arrays, multiple=None):
+        """Pad the batch dim up to ``multiple`` (default: the mesh's
+        data-axis size) by repeating the last sample; returns
+        (padded_arrays..., sample_mask). The mask makes loss/metrics exactly
+        short-batch despite the padding."""
         n = arrays[0].shape[0]
-        data_size = self.mesh.shape["data"]
+        data_size = multiple if multiple is not None else self.mesh.shape["data"]
         pad = (-n) % data_size
         mask = np.ones((n + pad,), np.float32)
         if pad:
@@ -417,7 +424,8 @@ class FCN8s:
         exact weighted gradient accumulation (parallel/steps.py) — one-chip
         activation memory drops to a microbatch's worth, so the reference's
         canonical batch-16 config (BASELINE.md) fits at full resolution
-        (pairs with ``remat=True`` for the extreme cases).
+        (pairs with ``remat=True`` for the extreme cases). Batches are
+        padded (masked, exactly) to a multiple of lcm(data axis, A).
 
         ``spatial_partition=True`` (TPU-native extra): shard the width dim
         over the mesh's 'model' axis during TRAINING — GSPMD conv halo
@@ -573,12 +581,22 @@ class FCN8s:
         synchronous (reference behavior)."""
         self._close_train_stream()
 
+        # pad to lcm(data axis, grad_accum) so both the device_put sharding
+        # and the in-step microbatch split divide; mask weighting keeps the
+        # gradient exactly the short-batch gradient either way
+        from math import gcd
+
+        data_size = self.mesh.shape["data"]
+        accum = getattr(self, "_grad_accum", 1)
+        batch_multiple = data_size * accum // gcd(data_size, accum)
+
         def host_pipeline():
             while True:
                 images, labels = next(train_generator)
                 label_ids = self._labels_to_ids(np.asarray(labels))
                 images_p, label_ids_p, mask = self._pad_batch_dim(
-                    np.ascontiguousarray(np.asarray(images)), label_ids
+                    np.ascontiguousarray(np.asarray(images)), label_ids,
+                    multiple=batch_multiple,
                 )
                 yield images_p, np.ascontiguousarray(label_ids_p), mask
 
@@ -1078,6 +1096,12 @@ class FCN8s:
         if thread is not None:
             thread.join()
             self._save_thread = None
+            exc = getattr(thread, "exc", None)
+            if exc is not None:
+                # a failed background save must not be silent: the dirty
+                # flag was already cleared, so re-arm it and surface
+                self.variables_updated = True
+                raise RuntimeError("async checkpoint write failed") from exc
 
     def load_variables(self, path):
         """Restore model params only (reference `load_variables`,

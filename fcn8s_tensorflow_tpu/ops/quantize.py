@@ -80,7 +80,7 @@ def quantize_vgg16_params(encoder_params: dict, act_absmax: dict | None = None) 
     return out
 
 
-def _quantize_activation(x, compute_dtype, static_scale=None):
+def _quantize_activation(x, static_scale=None):
     """Per-tensor symmetric int8. Returns (x_q, scale: f32 scalar).
 
     Dynamic mode (``static_scale=None``): scale from the current tensor's
@@ -106,8 +106,12 @@ def conv2d_int8(x, qlayer: dict, *, strides=(1, 1), padding="SAME",
     calibrated ``act_scale`` in ``qlayer``) x per-channel-int8 kernel,
     int32 MXU accumulation, float dequant + bias. Drop-in for
     ``ops.nn.conv2d`` (inference only)."""
-    xq, x_scale = _quantize_activation(x, compute_dtype,
-                                       static_scale=qlayer.get("act_scale"))
+    xq, x_scale = _quantize_activation(x, static_scale=qlayer.get("act_scale"))
+    # preferred_element_type is REQUIRED here (int8 x int8 must accumulate
+    # int32) — the CLAUDE.md "no preferred_element_type on convs" rule is
+    # about bf16 convs under grad (JAX 0.9 VJP rejection); this is an
+    # inference-only integer path, never differentiated (QAT would need a
+    # straight-through custom VJP anyway).
     acc = lax.conv_general_dilated(
         xq,
         qlayer["kernel_q"],

@@ -26,6 +26,20 @@ from ..labels.cityscapes import TRAINIDS_TO_RGBA_DICT
 from .overlay import print_segmentation_onto_image
 
 
+def load_prediction(image_path: str, results_dir: str):
+    """Locate + load the predicted id-map PNG matching a source image (by
+    Cityscapes core name). Deterministic: candidates sorted, an exact
+    ``<core>.png`` preferred over suffixed variants. Returns (H, W) array
+    or None. Shared by the static gallery and the interactive viewer."""
+    from ..utils.cs_helpers import get_core_image_file_name
+
+    core = get_core_image_file_name(image_path)
+    candidates = sorted(glob(os.path.join(results_dir, f"{core}*.png")))
+    exact = [c for c in candidates if os.path.basename(c) == f"{core}.png"]
+    pick = exact[0] if exact else (candidates[0] if candidates else None)
+    return np.asarray(Image.open(pick)) if pick else None
+
+
 def render_panel(image, gt_ids=None, pred_ids=None, color_map=None) -> np.ndarray:
     """One horizontal panel: [image | GT overlay | prediction overlay]."""
     color_map = color_map or TRAINIDS_TO_RGBA_DICT
@@ -134,11 +148,7 @@ def view_cityscapes_split(
     pred_loader = None
     if results_dir:
         def pred_loader(path):
-            from ..utils.cs_helpers import get_core_image_file_name
-
-            core = get_core_image_file_name(path)
-            candidates = glob(os.path.join(results_dir, f"{core}*.png"))
-            return np.asarray(Image.open(candidates[0])) if candidates else None
+            return load_prediction(path, results_dir)
 
     return build_gallery(
         out_dir, image_paths, gt_loader, pred_loader, max_images=max_images,

@@ -456,3 +456,37 @@ def test_predict_tiled_matches_full_on_local_task():
     with pytest.raises(ValueError, match="tile_overlap"):
         model.predict(images, tile=(64, 64), tile_overlap=31)
     model.close()
+
+
+def test_async_save_failure_surfaces(trained_model, tmp_path, monkeypatch):
+    """A failed background checkpoint write must raise at the join point
+    and re-arm the dirty flag (regression: silently lost checkpoint)."""
+    import fcn8s_tensorflow_tpu.engine.checkpoint as ckpt_mod
+
+    model, _, _ = trained_model
+    model.variables_updated = True
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ckpt_mod.os, "rename", boom)
+    model.save(str(tmp_path / "will_fail"), block=False)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        model._join_pending_save()
+    assert model.variables_updated  # dirty flag re-armed
+    model._save_thread = None
+
+
+def test_train_grad_accum_pads_odd_batches():
+    """Batch 3 with accumulation 2 must pad (not crash) — regression."""
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch(n=3)
+    model.train(
+        train_generator=_repeat_batches(images, labels),
+        epochs=1, steps_per_epoch=4,
+        learning_rate_schedule=constant(1e-3), keep_prob=1.0,
+        eval_frequency=10, record_summaries=False,
+        gradient_accumulation=2,
+    )
+    assert int(model.state.step) == 4
+    model.close()

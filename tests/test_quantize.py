@@ -168,3 +168,19 @@ def test_facade_calibrate_quantization(rng):
     pred = model.predict(images, quantized=True)
     assert pred.shape == (3, 32, 64)
     model.close()
+
+
+def test_calibrate_after_quantized_predict(rng):
+    """Calibration changes the qparams pytree STRUCTURE (act_scale leaves);
+    executables compiled for the dynamic structure must be dropped
+    (regression: cached jit raised a pytree/in_shardings mismatch)."""
+    from fcn8s_tensorflow_tpu.engine.model import FCN8s
+
+    model = FCN8s(num_classes=4, width_mult=1 / 16, fc_channels=64,
+                  compute_dtype=jnp.float32)
+    images = rng.integers(0, 255, (2, 32, 64, 3), np.uint8)
+    a = model.predict(images, quantized=True)     # dynamic-mode executable
+    model.calibrate_quantization(images)
+    b = model.predict(images, quantized=True)     # must recompile, not crash
+    assert a.shape == b.shape
+    model.close()
