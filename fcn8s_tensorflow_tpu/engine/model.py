@@ -891,6 +891,8 @@ class FCN8s:
         overwrite_existing=True,
         batch_size=8,
         on_device_overlay=True,
+        tile=None,
+        tile_overlap=128,
     ):
         """Segment every image in a directory, overlay, save to disk
         (reference `fcn8s_tensorflow.py:772-855`). ``color_map`` is a dict
@@ -904,6 +906,11 @@ class FCN8s:
         ``on_device_overlay`` the argmax→LUT→alpha-composite runs inside the
         predict executable and only the final uint8 RGB travels D2H;
         ``False`` falls back to ids + the host compositor.
+
+        ``tile=(th, tw)`` routes each batch through tiled inference (see
+        ``predict``) — for mega-resolution directories (e.g. raw 1024×2048
+        Cityscapes) where a whole-image graph would blow past compile or
+        HBM limits; one fixed-shape executable serves every image size.
 
         Measured on the axon v5e tunnel @8×1024×512: overlay compute is
         ~55 ms but its 12.6 MB RGB D2H costs ~719 ms vs 146 ms for the
@@ -1007,10 +1014,19 @@ class FCN8s:
                     c, gh, gw = chunks[next_decode]
                     decode_futs.append((c, reader.submit(load_chunk, c, gh, gw)))
                     next_decode += 1
-                padded, (n, _, _) = self._prepare_images(
-                    images_host, pad_batch_to=batch_size
-                )
-                dev = self._dispatch_predict(padded, argmax=True, overlay=ov)
+                if tile is not None:
+                    # mega-resolution path: one fixed-shape tile executable,
+                    # synchronous per chunk (see ``predict(tile=...)``)
+                    dev, n = (
+                        self._predict_tiled(images_host, True, ov, False,
+                                            tile, tile_overlap),
+                        images_host.shape[0],
+                    )
+                else:
+                    padded, (n, _, _) = self._prepare_images(
+                        images_host, pad_batch_to=batch_size
+                    )
+                    dev = self._dispatch_predict(padded, argmax=True, overlay=ov)
                 pending.append((chunk, dev, images_host, n))
                 if len(pending) >= 2:  # double-buffer: keep one in flight
                     flush(pending)

@@ -262,6 +262,26 @@ def test_predict_and_save(trained_model, tmp_path):
     assert split.shape == (2 * HW[0], HW[1], 3)
 
 
+def test_predict_and_save_tiled(trained_model, tmp_path):
+    """tile= routes predict_and_save through the fixed-shape tile
+    executable; outputs match the untiled run away from seams."""
+    model, images, _ = trained_model
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    for i, img in enumerate(images):
+        Image.fromarray(img).save(img_dir / f"img_{i}.png")
+    cmap = {0: (255, 0, 0, 127), 1: (0, 255, 0, 127), 2: (0, 0, 255, 127)}
+    out_a = str(tmp_path / "full")
+    out_b = str(tmp_path / "tiled")
+    model.predict_and_save(out_a, str(img_dir), cmap, on_device_overlay=False)
+    model.predict_and_save(out_b, str(img_dir), cmap, on_device_overlay=False,
+                           tile=(32, 32), tile_overlap=16)
+    a = np.asarray(Image.open(os.path.join(out_a, "img_0.png")))
+    b = np.asarray(Image.open(os.path.join(out_b, "img_0.png")))
+    assert a.shape == b.shape
+    assert (a == b).mean() > 0.5  # small tiles on a tiny model: seams differ
+
+
 def test_on_device_overlay_matches_host(trained_model):
     """predict(overlay=...) composites on device; must match the host
     compositor (viz.overlay) within 1 LSB (fp32 blend, floor-to-uint8)."""
