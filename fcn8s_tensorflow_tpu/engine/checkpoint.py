@@ -216,6 +216,38 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
+def describe_checkpoint(directory: str) -> str:
+    """Human-readable summary of a checkpoint (manifest + leaf inventory) —
+    the working equivalent of TF1's ``saved_model_cli show``. CLI:
+
+        python -m fcn8s_tensorflow_tpu.engine.checkpoint <dir-or-parent>
+    """
+    if not os.path.isfile(os.path.join(directory, "checkpoint.msgpack")):
+        latest = latest_checkpoint(directory)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoint under {directory}")
+        directory = latest
+    meta = load_metadata(directory)
+    from flax import serialization as _ser
+
+    with open(os.path.join(directory, "checkpoint.msgpack"), "rb") as f:
+        raw = _ser.msgpack_restore(f.read())
+    leaves = raw["params_leaves"]
+    leaves = list(leaves.values()) if isinstance(leaves, dict) else list(leaves)
+    n_params = sum(int(np.prod(np.shape(x))) for x in leaves)
+    lines = [f"checkpoint: {directory}"]
+    for key in ("model_config", "global_step", "training_loss", "eval_dataset",
+                "metrics", "saved_at"):
+        if key in meta:
+            lines.append(f"  {key}: {meta[key]}")
+    lines.append(f"  params: {len(leaves)} leaves, {n_params:,} values"
+                 + (", + optimizer state" if "opt_leaves" in raw else ""))
+    paths = meta.get("param_paths") or []
+    for p, x in zip(paths, leaves):
+        lines.append(f"    {p:<45} {tuple(np.shape(x))}")
+    return "\n".join(lines)
+
+
 def latest_checkpoint(parent: str) -> str | None:
     """Most recent checkpoint directory under ``parent`` (by mtime)."""
     if not os.path.isdir(parent):
@@ -227,3 +259,12 @@ def latest_checkpoint(parent: str) -> str | None:
         and os.path.isfile(os.path.join(parent, d, "checkpoint.msgpack"))
     ]
     return max(candidates, key=os.path.getmtime) if candidates else None
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) != 2:
+        print("usage: python -m fcn8s_tensorflow_tpu.engine.checkpoint <dir>")
+        raise SystemExit(1)
+    print(describe_checkpoint(sys.argv[1]))

@@ -510,3 +510,46 @@ def test_train_grad_accum_pads_odd_batches():
     )
     assert int(model.state.step) == 4
     model.close()
+
+
+def test_training_is_seed_deterministic():
+    """Two runs with the same seed and data produce bit-identical params;
+    a different seed diverges (the framework's reproducibility contract —
+    the reference, seeded only by TF1 graph-level randomness, had none)."""
+    images, labels = _toy_batch()
+
+    def run(seed):
+        model = FCN8s(num_classes=NUM_CLASSES, seed=seed, **TINY)
+        model.train(
+            train_generator=_repeat_batches(images, labels),
+            epochs=1, steps_per_epoch=5,
+            learning_rate_schedule=constant(1e-3), keep_prob=0.7,
+            eval_frequency=10, record_summaries=False,
+        )
+        leaves = [np.asarray(x) for x in jax.tree.leaves(model.state.params)]
+        model.close()
+        return leaves
+
+    import jax
+
+    a, b, c = run(0), run(0), run(1)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert any(not np.array_equal(x, z) for x, z in zip(a, c))
+
+
+def test_describe_checkpoint(trained_model, tmp_path):
+    import subprocess
+    import sys as _sys
+
+    import fcn8s_tensorflow_tpu.engine.checkpoint as ckpt_mod
+
+    model, _, _ = trained_model
+    model.variables_updated = True
+    path = model.save(str(tmp_path / "d"), force_save=True)
+    text = ckpt_mod.describe_checkpoint(path)
+    assert "model_config" in text and "encoder/conv1_1/kernel" in text
+    # parent-dir form resolves to the latest checkpoint
+    assert "checkpoint:" in ckpt_mod.describe_checkpoint(str(tmp_path / "d"))
+    with pytest.raises(FileNotFoundError):
+        ckpt_mod.describe_checkpoint(str(tmp_path / "nope"))
