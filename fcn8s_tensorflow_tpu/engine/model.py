@@ -100,6 +100,7 @@ class FCN8s:
         bilinear_deconv_init=False,
         seed=0,
         remat=False,
+        variant="fcn8s",
     ):
         if model_load_dir is None and num_classes is None:
             raise ValueError(
@@ -121,12 +122,15 @@ class FCN8s:
             num_classes = cfg["num_classes"]
             width_mult = cfg.get("width_mult", 1.0)
             fc_channels = cfg.get("fc_channels")
+            variant = cfg.get("variant", "fcn8s")
 
         self.num_classes = num_classes
+        self.variant = variant
         self.model_config = {
             "num_classes": num_classes,
             "width_mult": width_mult,
             "fc_channels": fc_channels,
+            "variant": variant,
         }
 
         # rbg keys use the TPU hardware RNG path: measured -2.4 ms/step on
@@ -144,6 +148,7 @@ class FCN8s:
                 bilinear_deconv_init=bilinear_deconv_init,
                 width_mult=width_mult,
                 fc_channels=fc_channels,
+                variant=variant,
             )
         )
         params = init_fn(init_rng)

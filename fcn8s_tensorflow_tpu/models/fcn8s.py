@@ -31,16 +31,32 @@ POOL4_SCALE = 1e-2
 STDDEV_1X1 = 0.001
 STDDEV_DECONV = 0.01
 
-# (name, kind, kernel_shape) — kind 'conv' is a 1x1 score conv, 'deconv_s{n}'
-# a transposed conv with stride n. Channel dim C filled in at init time.
-_DECODER_SPEC = [
-    ("pool3_1x1", "conv", (1, 1, 256, None)),
-    ("pool4_1x1", "conv", (1, 1, 512, None)),
-    ("fc7_1x1", "conv", (1, 1, 4096, None)),
-    ("fc7_deconv", "deconv", (4, 4, None, None)),
-    ("fc7_pool4_deconv", "deconv", (4, 4, None, None)),
-    ("fc7_pool4_pool3_deconv", "deconv", (16, 16, None, None)),
-]
+# (name, kind, kernel_shape) — kind 'conv' is a 1x1 score conv, 'deconv' a
+# transposed conv (kernel 2s x 2s, stride s). Channel dim C filled at init.
+# The reference ships ONLY fcn8s (`fcn8s_tensorflow.py:154-237`); fcn16s and
+# fcn32s complete the FCN paper's family (same at-once skip scaling where a
+# skip exists) as beyond-reference variants sharing the encoder and facade.
+_DECODER_SPECS = {
+    "fcn8s": [
+        ("pool3_1x1", "conv", (1, 1, 256, None)),
+        ("pool4_1x1", "conv", (1, 1, 512, None)),
+        ("fc7_1x1", "conv", (1, 1, 4096, None)),
+        ("fc7_deconv", "deconv", (4, 4, None, None)),
+        ("fc7_pool4_deconv", "deconv", (4, 4, None, None)),
+        ("fc7_pool4_pool3_deconv", "deconv", (16, 16, None, None)),
+    ],
+    "fcn16s": [
+        ("pool4_1x1", "conv", (1, 1, 512, None)),
+        ("fc7_1x1", "conv", (1, 1, 4096, None)),
+        ("fc7_deconv", "deconv", (4, 4, None, None)),
+        ("fc7_pool4_deconv", "deconv", (32, 32, None, None)),  # s16 to full res
+    ],
+    "fcn32s": [
+        ("fc7_1x1", "conv", (1, 1, 4096, None)),
+        ("fc7_deconv", "deconv", (64, 64, None, None)),  # s32 to full res
+    ],
+}
+_DECODER_SPEC = _DECODER_SPECS["fcn8s"]  # back-compat alias
 
 
 def init_fcn8s_decoder(
@@ -51,15 +67,20 @@ def init_fcn8s_decoder(
     pool3_ch: int = 256,
     pool4_ch: int = 512,
     fc7_ch: int = 4096,
+    variant: str = "fcn8s",
 ) -> dict:
     """Decoder parameters. ``bilinear_deconv_init=True`` swaps the deconv
     random init for the FCN paper's fixed bilinear-interpolation kernels.
     The ``*_ch`` kwargs follow the encoder's tap widths (non-default only
-    for width-scaled test/debug encoders)."""
+    for width-scaled test/debug encoders). ``variant``: 'fcn8s' (default,
+    the reference's model), 'fcn16s', or 'fcn32s'."""
+    if variant not in _DECODER_SPECS:
+        raise ValueError(f"variant must be one of {sorted(_DECODER_SPECS)}, got {variant!r}")
+    spec = _DECODER_SPECS[variant]
     tap_ch = {"pool3_1x1": pool3_ch, "pool4_1x1": pool4_ch, "fc7_1x1": fc7_ch}
     params = {}
-    keys = jax.random.split(rng, len(_DECODER_SPEC))
-    for key, (name, kind, shape) in zip(keys, _DECODER_SPEC):
+    keys = jax.random.split(rng, len(spec))
+    for key, (name, kind, shape) in zip(keys, spec):
         shape = tuple(num_classes if s is None else s for s in shape)
         if name in tap_ch:
             shape = (shape[0], shape[1], tap_ch[name], shape[3])
@@ -75,7 +96,7 @@ def init_fcn8s_decoder(
 
 def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jnp.bfloat16,
                         logits_dtype=jnp.float32, subpixel: bool = True,
-                        packed_final: bool = False):
+                        packed_final: bool = False, variant: str = "fcn8s"):
     """Decode (pool3, pool4, fc7) feature taps to full-resolution logits.
 
     ``logits_dtype``: fp32 by default (loss/argmax heads want precision);
@@ -108,11 +129,18 @@ def apply_fcn8s_decoder(params: dict, pool3, pool4, fc7_out, *, compute_dtype=jn
             x, p[name]["kernel"], p[name]["bias"], strides=(stride, stride)
         )
 
-    pool3_score = score("pool3_1x1", pool3.astype(compute_dtype), POOL3_SCALE)
-    pool4_score = score("pool4_1x1", pool4.astype(compute_dtype), POOL4_SCALE)
     fc7_score = score("fc7_1x1", fc7_out.astype(compute_dtype))
+    if variant == "fcn32s":
+        x = deconv(fc7_score, "fc7_deconv", 32, packed=packed_final)
+        return x.astype(logits_dtype)
 
+    pool4_score = score("pool4_1x1", pool4.astype(compute_dtype), POOL4_SCALE)
     x = deconv(fc7_score, "fc7_deconv", 2) + pool4_score
+    if variant == "fcn16s":
+        x = deconv(x, "fc7_pool4_deconv", 16, packed=packed_final)
+        return x.astype(logits_dtype)
+
+    pool3_score = score("pool3_1x1", pool3.astype(compute_dtype), POOL3_SCALE)
     x = deconv(x, "fc7_pool4_deconv", 2) + pool3_score
     x = deconv(x, "fc7_pool4_pool3_deconv", 8, packed=packed_final)
     return x.astype(logits_dtype)
@@ -125,11 +153,13 @@ def init_fcn8s(
     bilinear_deconv_init: bool = False,
     width_mult: float = 1.0,
     fc_channels: int | None = None,
+    variant: str = "fcn8s",
 ) -> dict:
     """Full model params: {'encoder': vgg16 tree, 'decoder': decoder tree}.
 
     ``width_mult`` / ``fc_channels`` build width-scaled debug/test variants
-    with the identical graph structure (see ``init_vgg16``)."""
+    with the identical graph structure (see ``init_vgg16``). ``variant``
+    selects the FCN family member ('fcn8s'/'fcn16s'/'fcn32s')."""
     enc_rng, dec_rng = jax.random.split(rng)
     encoder = init_vgg16(enc_rng, width_mult=width_mult, fc_channels=fc_channels)
     decoder = init_fcn8s_decoder(
@@ -139,6 +169,7 @@ def init_fcn8s(
         pool3_ch=encoder["conv3_3"]["kernel"].shape[-1],
         pool4_ch=encoder["conv4_3"]["kernel"].shape[-1],
         fc7_ch=encoder["fc7"]["kernel"].shape[-1],
+        variant=variant,
     )
     return {"encoder": encoder, "decoder": decoder}
 
@@ -155,6 +186,7 @@ def apply_fcn8s(
     logits_dtype=jnp.float32,
     remat: bool = False,
     packed_final: bool = False,
+    variant: str | None = None,
 ):
     """End-to-end forward: NHWC images -> (N, H, W, num_classes) logits
     (fp32 by default; see ``apply_fcn8s_decoder``, incl. ``packed_final``).
@@ -173,20 +205,33 @@ def apply_fcn8s(
         normalize=normalize,
         remat=remat,
     )
+    if variant is None:
+        variant = decoder_variant(params["decoder"])
     return apply_fcn8s_decoder(
         params["decoder"], pool3, pool4, fc7_out,
         compute_dtype=compute_dtype, logits_dtype=logits_dtype,
-        packed_final=packed_final,
+        packed_final=packed_final, variant=variant,
     )
 
 
+def decoder_variant(decoder_params: dict) -> str:
+    """Infer the FCN variant from a decoder param tree (the key set is
+    unambiguous across the family)."""
+    if "fc7_pool4_pool3_deconv" in decoder_params:
+        return "fcn8s"
+    if "fc7_pool4_deconv" in decoder_params:
+        return "fcn16s"
+    return "fcn32s"
+
+
 def decoder_l2_loss(decoder_params: dict) -> jnp.ndarray:
-    """Sum of TF-style L2 terms over the six decoder kernels (biases exempt):
+    """Sum of TF-style L2 terms over the decoder kernels (biases exempt):
     ``sum(w**2) / 2`` per kernel, matching ``tf.contrib.layers.l2_regularizer``
     semantics used at reference `fcn8s_tensorflow.py:162,250-251` (the rate is
-    multiplied in by the caller)."""
+    multiplied in by the caller). Iterates the tree, so every FCN variant's
+    kernel set is covered."""
     total = jnp.zeros((), jnp.float32)
-    for name, _, _ in _DECODER_SPEC:
-        w = decoder_params[name]["kernel"].astype(jnp.float32)
+    for layer in decoder_params.values():
+        w = layer["kernel"].astype(jnp.float32)
         total = total + 0.5 * jnp.sum(w * w)
     return total

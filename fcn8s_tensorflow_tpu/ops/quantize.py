@@ -201,7 +201,7 @@ def apply_fcn8s_int8(qparams: dict, images, *, compute_dtype=jnp.bfloat16,
                      normalize: bool = True, logits_dtype=jnp.float32):
     """Quantized end-to-end forward: int8 encoder -> bf16 FCN-8s decoder.
     Same (N, H, W, C) logits contract as ``models.fcn8s.apply_fcn8s``."""
-    from ..models.fcn8s import apply_fcn8s_decoder
+    from ..models.fcn8s import apply_fcn8s_decoder, decoder_variant
 
     pool3, pool4, fc7_out = apply_vgg16_int8(
         qparams["encoder_q"], images, compute_dtype=compute_dtype,
@@ -210,4 +210,5 @@ def apply_fcn8s_int8(qparams: dict, images, *, compute_dtype=jnp.bfloat16,
     return apply_fcn8s_decoder(
         qparams["decoder"], pool3, pool4, fc7_out,
         compute_dtype=compute_dtype, logits_dtype=logits_dtype,
+        variant=decoder_variant(qparams["decoder"]),
     )

@@ -135,3 +135,62 @@ def test_dropout_determinism_and_scaling():
     np.testing.assert_allclose(np.asarray(out)[kept], 2.0, rtol=1e-5)
     assert 0.35 < kept.mean() < 0.65
     assert np.array_equal(np.asarray(dropout(x, None, 0.5, deterministic=True)), np.asarray(x))
+
+
+class TestFCNVariants:
+    """FCN-16s / FCN-32s decoder variants (beyond-reference: the reference
+    ships only fcn8s; the paper's family shares the encoder)."""
+
+    def test_variant_shapes(self):
+        import jax
+        import jax.numpy as jnp
+
+        from fcn8s_tensorflow_tpu.models.fcn8s import apply_fcn8s, init_fcn8s
+
+        x = jnp.zeros((1, 64, 96, 3), jnp.uint8)
+        for variant in ("fcn8s", "fcn16s", "fcn32s"):
+            params = init_fcn8s(jax.random.PRNGKey(0), 5, width_mult=1 / 16,
+                                fc_channels=32, variant=variant)
+            logits = apply_fcn8s(params, x, compute_dtype=jnp.float32)
+            assert logits.shape == (1, 64, 96, 5), variant
+
+    def test_variant_param_sets(self):
+        import jax
+
+        from fcn8s_tensorflow_tpu.models.fcn8s import decoder_variant, init_fcn8s
+
+        p8 = init_fcn8s(jax.random.PRNGKey(0), 3, width_mult=1 / 16,
+                        fc_channels=32)
+        p16 = init_fcn8s(jax.random.PRNGKey(0), 3, width_mult=1 / 16,
+                         fc_channels=32, variant="fcn16s")
+        p32 = init_fcn8s(jax.random.PRNGKey(0), 3, width_mult=1 / 16,
+                         fc_channels=32, variant="fcn32s")
+        assert set(p16["decoder"]) == {"pool4_1x1", "fc7_1x1", "fc7_deconv",
+                                       "fc7_pool4_deconv"}
+        assert set(p32["decoder"]) == {"fc7_1x1", "fc7_deconv"}
+        assert p32["decoder"]["fc7_deconv"]["kernel"].shape[:2] == (64, 64)
+        assert decoder_variant(p8["decoder"]) == "fcn8s"
+        assert decoder_variant(p16["decoder"]) == "fcn16s"
+        assert decoder_variant(p32["decoder"]) == "fcn32s"
+        import pytest
+
+        with pytest.raises(ValueError, match="variant"):
+            init_fcn8s(jax.random.PRNGKey(0), 3, variant="fcn4s")
+
+    def test_variant_facade_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from fcn8s_tensorflow_tpu.engine.model import FCN8s
+
+        model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
+                      compute_dtype=jnp.float32, variant="fcn16s")
+        images = np.zeros((1, 32, 64, 3), np.uint8)
+        pred = model.predict(images)
+        assert pred.shape == (1, 32, 64)
+        model.variables_updated = True
+        path = model.save(str(tmp_path), force_save=True)
+        reloaded = FCN8s(model_load_dir=path, compute_dtype=jnp.float32)
+        assert reloaded.variant == "fcn16s"
+        np.testing.assert_array_equal(pred, reloaded.predict(images))
+        model.close(), reloaded.close()
