@@ -1,0 +1,97 @@
+"""HTTP inference service (engine/serving.py): full request round trips."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from fcn8s_tensorflow_tpu.engine.model import FCN8s
+from fcn8s_tensorflow_tpu.engine.serving import InferenceService, make_server
+
+CMAP = {0: (255, 0, 0, 127), 1: (0, 255, 0, 127), 2: (0, 0, 255, 127)}
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
+                  compute_dtype=jnp.float32)
+    service = InferenceService(model, color_map=CMAP)
+    srv = make_server(service, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}", service
+    srv.shutdown()
+    srv.server_close()
+    model.close()
+
+
+def _png_bytes(rng, h=32, w=64):
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+        buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read()
+
+
+def test_predict_endpoint(server, rng):
+    base, service = server
+    status, png = _post(base + "/predict", _png_bytes(rng))
+    assert status == 200
+    ids = np.asarray(Image.open(io.BytesIO(png)))
+    assert ids.shape == (32, 64) and ids.dtype == np.uint8
+    assert ids.max() < 3
+
+
+def test_overlay_endpoint_and_odd_size(server, rng):
+    base, _ = server
+    status, png = _post(base + "/overlay", _png_bytes(rng, h=30, w=50))
+    assert status == 200
+    rgb = np.asarray(Image.open(io.BytesIO(png)))
+    assert rgb.shape == (30, 50, 3)
+
+
+def test_health_and_stats(server, rng):
+    base, service = server
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+    assert health["model_config"]["num_classes"] == 3
+    _post(base + "/predict", _png_bytes(rng))
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 1
+    assert stats["p50_ms"] is not None
+
+
+def test_bad_request_does_not_kill_server(server, rng):
+    base, service = server
+    try:
+        _post(base + "/predict", b"this is not an image")
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in json.loads(e.read())
+    # server still alive
+    status, _ = _post(base + "/predict", _png_bytes(rng))
+    assert status == 200
+    assert service.errors >= 1
+
+
+def test_unknown_routes(server):
+    base, _ = server
+    try:
+        urllib.request.urlopen(base + "/nope", timeout=30)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
