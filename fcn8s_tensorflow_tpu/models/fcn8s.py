@@ -36,6 +36,11 @@ STDDEV_DECONV = 0.01
 # The reference ships ONLY fcn8s (`fcn8s_tensorflow.py:154-237`); fcn16s and
 # fcn32s complete the FCN paper's family (same at-once skip scaling where a
 # skip exists) as beyond-reference variants sharing the encoder and facade.
+# Measured v5e @8x1024x512 (full width): fcn8s 110.1 ms/step train / 37.7 ms
+# fwd; fcn16s 114.0 / 40.4; fcn32s 157.5 / 46.0 — the single large-kernel
+# deconvs (32x32/s16, 64x64/s32) cost MORE than fcn8s's staged 4/4/16 chain
+# despite fewer layers (their subpixel contractions are s^2*C-wide). These
+# are quality-ablation variants, not speed paths.
 _DECODER_SPECS = {
     "fcn8s": [
         ("pool3_1x1", "conv", (1, 1, 256, None)),
