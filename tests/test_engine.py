@@ -93,6 +93,7 @@ def test_predict_argmax_and_softmax(trained_model):
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_with_gradient_accumulation_learns():
     """Facade gradient_accumulation: 2 microbatches per step, same learning
     behavior (exactness vs full batch is pinned in tests/test_parallel.py)."""
@@ -411,6 +412,7 @@ def test_predict_spatial_partition_matches_default():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_train_spatial_partitioned_facade():
     """Facade spatial-partitioned training on a (2 data x 4 model) mesh."""
     from fcn8s_tensorflow_tpu.parallel.mesh import create_mesh
@@ -445,6 +447,7 @@ def test_tile_grid_partitions_exactly():
         assert covered == list(range(size)), (size, t, o)
 
 
+@pytest.mark.slow
 def test_predict_tiled_matches_full_on_local_task():
     """Tiled inference agrees with full inference away from tile seams.
     Task: class = color band (locally determined, so a trained model's
@@ -497,6 +500,7 @@ def test_async_save_failure_surfaces(trained_model, tmp_path, monkeypatch):
     model._save_thread = None
 
 
+@pytest.mark.slow
 def test_train_grad_accum_pads_odd_batches():
     """Batch 3 with accumulation 2 must pad (not crash) — regression."""
     model = FCN8s(num_classes=NUM_CLASSES, **TINY)
@@ -512,6 +516,7 @@ def test_train_grad_accum_pads_odd_batches():
     model.close()
 
 
+@pytest.mark.slow
 def test_training_is_seed_deterministic():
     """Two runs with the same seed and data produce bit-identical params;
     a different seed diverges (the framework's reproducibility contract —

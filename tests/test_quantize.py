@@ -93,6 +93,7 @@ def test_apply_fcn8s_int8_shapes():
     assert logits.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_int8_argmax_agreement_after_training(rng):
     """Train a tiny model a few steps on a separable synthetic task, then
     require >=97% argmax agreement between the bf16 and int8 forwards."""
