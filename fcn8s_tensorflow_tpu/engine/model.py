@@ -770,9 +770,10 @@ class FCN8s:
         per-tensor int8 activations x per-channel int8 weights on the MXU,
         bf16 decoder. Params are quantized lazily and re-quantized after any
         training. Call ``calibrate_quantization(images)`` first to freeze
-        static activation scales — measured v5e @8x1024x512 argmax predict:
-        bf16 37.6 ms, int8 dynamic (no calibration) 35.6 ms, int8
-        calibrated-static **30.0 ms** (-20% vs bf16). Argmax agreement
+        static activation scales — measured v5e @8x1024x512 argmax predict
+        (with the packed-layout argmax, parallel/steps.py): bf16 32.9 ms,
+        int8 dynamic 30.9 ms, int8 calibrated-static **25.5 ms**
+        (313 img/s/chip compute-side; -22% vs bf16). Argmax agreement
         >= 97% on a trained model (tests/test_quantize.py).
 
         ``tile=(th, tw)`` runs tiled inference: the image is covered by

@@ -198,9 +198,11 @@ def quantize_fcn8s_params(params: dict, act_absmax: dict | None = None) -> dict:
 
 
 def apply_fcn8s_int8(qparams: dict, images, *, compute_dtype=jnp.bfloat16,
-                     normalize: bool = True, logits_dtype=jnp.float32):
+                     normalize: bool = True, logits_dtype=jnp.float32,
+                     packed_final: bool = False):
     """Quantized end-to-end forward: int8 encoder -> bf16 FCN-8s decoder.
-    Same (N, H, W, C) logits contract as ``models.fcn8s.apply_fcn8s``."""
+    Same (N, H, W, C) logits contract as ``models.fcn8s.apply_fcn8s``
+    (incl. ``packed_final``)."""
     from ..models.fcn8s import apply_fcn8s_decoder, decoder_variant
 
     pool3, pool4, fc7_out = apply_vgg16_int8(
@@ -211,4 +213,5 @@ def apply_fcn8s_int8(qparams: dict, images, *, compute_dtype=jnp.bfloat16,
         qparams["decoder"], pool3, pool4, fc7_out,
         compute_dtype=compute_dtype, logits_dtype=logits_dtype,
         variant=decoder_variant(qparams["decoder"]),
+        packed_final=packed_final,
     )

@@ -300,25 +300,35 @@ def predict_step(params, images, *, argmax: bool = True, compute_dtype=jnp.bfloa
     cast, same tie order) and softmax upcasts per-element inside its fusion.
     Keeping the full-res logits narrow halves the biggest tensor's HBM
     traffic through the depth-to-space transpose and the argmax (measured
-    v5e @8x1024x512: the f32 relayout copy alone was 3.5 ms/batch)."""
+    v5e @8x1024x512: the f32 relayout copy alone was 3.5 ms/batch).
+
+    When only class IDS are needed (argmax / overlay), the argmax runs in
+    the PACKED subpixel layout — full-resolution C-channel logits never
+    materialize (their 20-channel minor dim lane-pads 6.4x in HBM); only
+    the uint-sized id maps get depth-to-spaced. Bit-identical (same class
+    order per pixel, verified 1.0 agreement) and measured 37.4 -> 33.3
+    ms/batch8 on v5e (-11%)."""
+    want_ids = argmax or overlay_lut is not None
+    apply_kwargs = dict(compute_dtype=compute_dtype, logits_dtype=compute_dtype,
+                        packed_final=want_ids)
     if quantized:
         from ..ops.quantize import apply_fcn8s_int8
 
-        logits = apply_fcn8s_int8(params, images, compute_dtype=compute_dtype,
-                                  logits_dtype=compute_dtype)
+        logits = apply_fcn8s_int8(params, images, **apply_kwargs)
     else:
-        logits = apply_fcn8s(params, images, deterministic=True,
-                             compute_dtype=compute_dtype,
-                             logits_dtype=compute_dtype)
+        logits = apply_fcn8s(params, images, deterministic=True, **apply_kwargs)
+    if want_ids:
+        pred = jnp.argmax(logits, axis=-1)  # (n, H/s, W/s, s, s)
+        n, h, w, s, _ = pred.shape
+        pred = jnp.transpose(pred, (0, 1, 3, 2, 4)).reshape(n, h * s, w * s)
     if overlay_lut is not None:
-        pred = jnp.argmax(logits, axis=-1)
         rgba = jnp.asarray(overlay_lut, jnp.float32)[pred]  # (N,H,W,4)
         alpha = rgba[..., 3:4] * (1.0 / 255.0)
         out = images.astype(jnp.float32) * (1.0 - alpha) + rgba[..., :3] * alpha
         # floor to match the host fallback's float->uint8 truncation
         return jnp.floor(out).astype(jnp.uint8)
     if argmax:
-        return jnp.argmax(logits, axis=-1).astype(id_dtype)
+        return pred.astype(id_dtype)
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
 
