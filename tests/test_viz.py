@@ -64,3 +64,38 @@ def test_video_no_frames(tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(ValueError):
         create_video_from_images(str(tmp_path / "v"), str(tmp_path / "empty"))
+
+
+@pytest.mark.slow
+def test_segment_video_roundtrip(tmp_path, rng):
+    """MP4 in -> segmented-overlay MP4 out, batched through the model."""
+    import cv2
+    import jax.numpy as jnp
+
+    from fcn8s_tensorflow_tpu.engine.model import FCN8s
+    from fcn8s_tensorflow_tpu.viz.overlay import segment_video
+
+    src = str(tmp_path / "in.mp4")
+    vw = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 5, (64, 32))
+    for _ in range(5):
+        vw.write(rng.integers(0, 255, (32, 64, 3), dtype=np.uint8))
+    vw.release()
+
+    model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
+                  compute_dtype=jnp.float32)
+    cmap = {0: (255, 0, 0, 127), 1: (0, 255, 0, 127), 2: (0, 0, 255, 127)}
+    out = segment_video(model, src, str(tmp_path / "out"), cmap, batch_size=2)
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        n += 1
+        assert frame.shape == (32, 64, 3)
+    cap.release()
+    assert n == 5
+    model.close()
+    with pytest.raises(ValueError, match="could not open"):
+        segment_video(model, str(tmp_path / "missing.mp4"),
+                      str(tmp_path / "x"), cmap)
