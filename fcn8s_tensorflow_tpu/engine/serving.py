@@ -28,9 +28,15 @@ import io
 import json
 import threading
 import time
+from collections import deque
 
 import numpy as np
 from PIL import Image
+
+
+class ClientError(ValueError):
+    """Bad request payload (undecodable image) — maps to HTTP 400; every
+    other failure is the server's fault and maps to 500."""
 
 
 class InferenceService:
@@ -45,12 +51,15 @@ class InferenceService:
         self.tile = tile
         self.tile_overlap = tile_overlap
         self._lock = threading.Lock()
-        self._latencies: list[float] = []
+        self._latencies: deque[float] = deque(maxlen=1000)  # bounded memory
         self.requests = 0
         self.errors = 0
 
     def predict_png(self, image_bytes: bytes, overlay: bool = False) -> bytes:
-        image = np.asarray(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
+        try:
+            image = np.asarray(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
+        except Exception as exc:
+            raise ClientError(f"undecodable image: {exc}") from exc
         t0 = time.perf_counter()
         with self._lock:
             if overlay:
@@ -74,7 +83,7 @@ class InferenceService:
         return buf.getvalue()
 
     def stats(self) -> dict:
-        lat = np.asarray(self._latencies[-1000:]) * 1e3
+        lat = np.asarray(self._latencies) * 1e3
         return {
             "requests": self.requests,
             "errors": self.errors,
@@ -128,8 +137,13 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
                 png = service.predict_png(body, overlay=self.path == "/overlay")
                 self._send(200, png, "image/png")
             except Exception as exc:  # noqa: BLE001 — a server must not die
-                service.errors += 1
-                self._send_json({"error": str(exc)}, 400)
+                with service._lock:
+                    service.errors += 1
+                # client payload faults -> 400; anything else (device
+                # failure, server misconfiguration) is OUR fault -> 500 so
+                # monitors flag the backend instead of blaming callers
+                code = 400 if isinstance(exc, ClientError) else 500
+                self._send_json({"error": str(exc)}, code)
 
     return http.server.ThreadingHTTPServer((host, port), Handler)
 

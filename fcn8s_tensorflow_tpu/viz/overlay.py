@@ -88,17 +88,20 @@ def segment_video(
     frame_rate: float | None = None,
     quantized: bool = False,
     tile=None,
+    tile_overlap: int = 128,
 ) -> str:
     """Video -> segmented-overlay video, batched through the model.
 
     Beyond-reference: the reference only assembles an MP4 from
     already-segmented still images (`visualization_utils.py:102-120`); this
-    reads a video, runs frames through ``model.predict`` in batches (one
-    compiled executable for the whole clip; double-buffered by the
-    facade's async dispatch), composites the class colors, and writes the
-    output MP4. ``quantized``/``tile`` pass through to ``predict``.
-    Uses OpenCV for the container IO (imageio's MP4 plugin is optional);
-    returns the output path.
+    reads a video, runs full batches through ``model.predict`` (one
+    compiled executable for them; a shorter tail batch compiles a second),
+    composites the class colors on device, and writes the output MP4.
+    Each batch is synchronous end-to-end — decode/predict/encode don't
+    overlap; for a pipelined bulk path dump frames and use
+    ``predict_and_save``. ``quantized``/``tile``/``tile_overlap`` pass
+    through to ``predict``. Uses OpenCV for the container IO (imageio's
+    MP4 plugin is optional); returns the output path.
     """
     import cv2
 
@@ -119,7 +122,8 @@ def segment_video(
                 return
             frames = np.stack(batch)
             overlaid = model.predict(frames, overlay=color_map,
-                                     quantized=quantized, tile=tile)
+                                     quantized=quantized, tile=tile,
+                                     tile_overlap=tile_overlap)
             for f in overlaid:
                 writer.write(np.asarray(f)[:, :, ::-1])  # RGB -> BGR
             batch.clear()

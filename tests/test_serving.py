@@ -95,3 +95,25 @@ def test_unknown_routes(server):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_server_fault_maps_to_500(rng):
+    """Server-side faults (here: /overlay without a color map — a config
+    error) return 500, not 400 (client fault)."""
+    model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
+                  compute_dtype=jnp.float32)
+    service = InferenceService(model, color_map=None)
+    srv = make_server(service, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    try:
+        try:
+            _post(f"http://{host}:{port}/overlay", _png_bytes(rng))
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        model.close()

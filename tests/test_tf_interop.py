@@ -67,3 +67,20 @@ def test_export_from_checkpoint_dir(tmp_path):
     import os
 
     assert os.path.isfile(os.path.join(out, "saved_model.pb"))
+
+
+def test_export_rejects_non_fcn8s_variants(tmp_path):
+    import jax
+
+    from fcn8s_tensorflow_tpu.engine import checkpoint as ckpt
+    from fcn8s_tensorflow_tpu.models.fcn8s import init_fcn8s
+    from tools.tf_interop import export_tf_savedmodel
+
+    params = init_fcn8s(jax.random.PRNGKey(0), 4, width_mult=1 / 16,
+                        fc_channels=64, variant="fcn16s")
+    cdir = str(tmp_path / "ckpt16")
+    ckpt.save_checkpoint(cdir, params, {
+        "model_config": {"num_classes": 4, "width_mult": 1 / 16,
+                         "fc_channels": 64, "variant": "fcn16s"}})
+    with pytest.raises(NotImplementedError, match="fcn8s graph only"):
+        export_tf_savedmodel(cdir, str(tmp_path / "sm16"))

@@ -56,6 +56,14 @@ def _load_params(checkpoint_dir: str):
 
     meta = ckpt.load_metadata(checkpoint_dir)
     cfg = meta["model_config"]
+    variant = cfg.get("variant", "fcn8s")
+    if variant != "fcn8s":
+        # build_tf_reference_model reconstructs the REFERENCE graph, which
+        # only exists for fcn8s (`fcn8s_tensorflow.py:154-237`)
+        raise NotImplementedError(
+            f"TF SavedModel export supports the reference's fcn8s graph only; "
+            f"checkpoint is variant={variant!r}"
+        )
     example = init_fcn8s(
         jax.random.PRNGKey(0), cfg["num_classes"],
         width_mult=cfg.get("width_mult", 1.0),
