@@ -239,16 +239,18 @@ class FCN8s:
             )
         return self._train_steps[batch_shape]
 
-    def _get_eval_step(self, batch_shape):
-        if batch_shape not in self._eval_steps:
-            self._eval_steps[batch_shape] = compile_eval_step(
+    def _get_eval_step(self, batch_shape, spatial_partition=False):
+        key = (batch_shape, spatial_partition)
+        if key not in self._eval_steps:
+            self._eval_steps[key] = compile_eval_step(
                 self.mesh,
                 self.num_classes,
-                tensor_parallel=self.tensor_parallel,
+                tensor_parallel=self.tensor_parallel and not spatial_partition,
                 compute_dtype=self.compute_dtype,
                 example_params=self.state.params,
+                spatial_partition=spatial_partition,
             )
-        return self._eval_steps[batch_shape]
+        return self._eval_steps[key]
 
     def _get_predict_step(self, batch_shape, argmax, spatial_partition=False,
                           overlay=None, quantized=False):
@@ -662,7 +664,7 @@ class FCN8s:
 
     # ------------------------------------------------------------------
     def _evaluate(self, data_generator, metrics, num_batches, description="Running evaluation",
-                  device_stream=False):
+                  device_stream=False, spatial_partition=False):
         """Shared evaluation core (reference `_evaluate`,
         `fcn8s_tensorflow.py:660-697`): reset accumulators, forward-only
         update per batch with keep_prob=1, finalize, print.
@@ -684,8 +686,18 @@ class FCN8s:
                 images, labels = next(data_generator)
                 label_ids = self._labels_to_ids(np.asarray(labels))
                 images, label_ids, mask = self._pad_batch_dim(np.asarray(images), label_ids)
-                im_d, lb_d, mask_d = self._put_batch(images, label_ids, mask)
-            eval_fn = self._get_eval_step(im_d.shape)
+                if spatial_partition:
+                    from jax.sharding import NamedSharding
+
+                    from ..parallel.mesh import spatial_spec
+
+                    sp = NamedSharding(self.mesh, spatial_spec())
+                    im_d = jax.device_put(np.ascontiguousarray(images), sp)
+                    lb_d = jax.device_put(np.ascontiguousarray(label_ids), sp)
+                    mask_d = jax.device_put(mask, batch_sharding(self.mesh))
+                else:
+                    im_d, lb_d, mask_d = self._put_batch(images, label_ids, mask)
+            eval_fn = self._get_eval_step(im_d.shape, spatial_partition)
             metrics_state = eval_fn(self.state.params, metrics_state, im_d, lb_d, mask_d)
 
         final = finalize_metrics(metrics_state)
@@ -695,11 +707,18 @@ class FCN8s:
         return values
 
     def evaluate(self, data_generator, num_batches, metrics={"loss", "mean_iou", "accuracy"},
-                 l2_regularization=0.0, dataset="val"):
+                 l2_regularization=0.0, dataset="val", spatial_partition=False):
         """Public evaluation (reference `evaluate`, `fcn8s_tensorflow.py:699-741`).
         ``l2_regularization`` is accepted for parity but does not affect the
         reported loss (matching the reference, whose metric tracks total loss
-        with the fed l2 rate — pass 0.0 there for the same number)."""
+        with the fed l2 rate — pass 0.0 there for the same number).
+
+        ``spatial_partition=True`` (TPU-native extra): shard the width dim
+        over the mesh's 'model' axis — exact (GSPMD conv halos), for
+        mega-resolution evaluation that exceeds one chip's activation HBM;
+        requires a >1 'model' axis. (For offline full-res scoring without a
+        multi-chip mesh, ``predict(tile=...)`` + the offline evaluators in
+        ``evaluation/`` are the alternative.)"""
         metrics = set(metrics)
         if not metrics <= _ALLOWED_METRICS:
             raise ValueError(f"metrics must be a subset of {_ALLOWED_METRICS}")
@@ -707,7 +726,8 @@ class FCN8s:
             raise ValueError("dataset must be 'train' or 'val'")
         self.eval_dataset = dataset
         self._initialize_metrics(metrics)
-        return self._evaluate(data_generator, metrics, num_batches)
+        return self._evaluate(data_generator, metrics, num_batches,
+                              spatial_partition=spatial_partition)
 
     # ------------------------------------------------------------------
     def _prepare_images(self, images, pad_batch_to=None):

@@ -55,7 +55,12 @@ def spatial_spec() -> P:
     For mega-resolution inference where one chip can't hold the
     activations. W must be divisible by 32 (the model's stride) as usual;
     alignment of shard boundaries to the stride is not required (GSPMD
-    inserts the necessary halos/padding — validated for W=96 on 4 shards)."""
+    inserts the necessary halos/padding — validated for W=96 on 4 shards).
+    Keep W/32 >= the 'model'-axis size: when the stride-32 tap is narrower
+    than the shard count, GSPMD's degenerate-dim padding makes results
+    diverge slightly from the unsharded graph (observed ~0.2% of argmax
+    pixels at W=32 on 4 shards; bit-exact at W/32 >= shards). Not a real
+    deployment regime — spatial partitioning exists for W >> 32."""
     return P(DATA_AXIS, None, MODEL_AXIS)
 
 

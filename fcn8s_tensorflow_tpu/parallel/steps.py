@@ -413,21 +413,42 @@ def _match_opt_state_to_params(state, state_shardings, p_shard, rep):
 
 
 def compile_eval_step(mesh, num_classes, *, tensor_parallel: bool = True, compute_dtype=jnp.bfloat16,
-                      example_params=None):
-    from .mesh import batch_sharding, param_sharding_tree, replicated
+                      example_params=None, spatial_partition: bool = False):
+    """``spatial_partition=True`` shards the images/labels width dim over
+    'model' (exact — GSPMD conv halos; see ``compile_train_step``) with
+    params replicated and the composite XLA loss (the Pallas CE kernel is
+    not GSPMD-partitionable over width). Completes the spatial story:
+    train, predict, and eval all run width-sharded for mega-resolution."""
+    from jax.sharding import NamedSharding
 
+    from .mesh import batch_sharding, param_sharding_tree, replicated, spatial_spec
+
+    if spatial_partition and tensor_parallel:
+        raise ValueError("spatial_partition and tensor_parallel are mutually exclusive")
     rep = replicated(mesh)
-    data = batch_sharding(mesh)
+    if spatial_partition:
+        data = NamedSharding(mesh, spatial_spec())
+        mask_sharding = batch_sharding(mesh)
+        tensor_parallel = False
+        use_pallas = False
+    else:
+        data = batch_sharding(mesh)
+        mask_sharding = data
+        use_pallas = None
     p_shard = (
         param_sharding_tree(mesh, example_params, tensor_parallel=tensor_parallel)
         if example_params is not None
         else None
     )
     metrics_shard = rep if example_params is not None else None
-    fn = partial(eval_step, num_classes=num_classes, compute_dtype=compute_dtype)
+    fn = partial(eval_step, num_classes=num_classes, compute_dtype=compute_dtype,
+                 use_pallas_ce=use_pallas)
     return jax.jit(
         fn,
-        in_shardings=(p_shard, metrics_shard, data, data, data) if p_shard is not None else None,
+        in_shardings=(
+            (p_shard, metrics_shard, data, data, mask_sharding)
+            if p_shard is not None else None
+        ),
         out_shardings=metrics_shard,
         donate_argnums=(1,),
     )

@@ -269,3 +269,53 @@ def test_spatial_train_rejects_tensor_parallel(model_state):
     with pytest.raises(ValueError, match="mutually exclusive"):
         compile_train_step(mesh, optimizer, NUM_CLASSES, tensor_parallel=True,
                            example_state=state, spatial_partition=True)
+
+
+def test_spatial_partitioned_eval_matches_unsharded(model_state, rng):
+    """Width-sharded evaluation accumulates the same metrics as unsharded."""
+    from jax.sharding import NamedSharding
+
+    from fcn8s_tensorflow_tpu.parallel.mesh import spatial_spec
+    from fcn8s_tensorflow_tpu.parallel.steps import compile_eval_step
+
+    state, _ = model_state
+    # W=128 so the stride-32 tap keeps >=1 column per 'model' shard (the
+    # same geometry the spatial predict test pins bit-exactly)
+    images = rng.integers(0, 255, size=(2, 32, 128, 3), dtype=np.uint8)
+    labels = rng.integers(0, NUM_CLASSES, size=(2, 32, 128), dtype=np.uint8)
+    mask = np.ones((2,), np.float32)
+
+    mesh1 = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+    step1 = compile_eval_step(mesh1, NUM_CLASSES, tensor_parallel=False,
+                              compute_dtype=jnp.float32,
+                              example_params=state.params)
+    m1 = jax.device_put(empty_metrics_state(NUM_CLASSES),
+                        jax.sharding.NamedSharding(mesh1, jax.sharding.PartitionSpec()))
+    im1, lb1, mk1 = shard_batch(mesh1, images, labels, mask)
+    m1 = step1(state.params, m1, im1, lb1, mk1)
+    vals1 = {k: float(v) for k, v in finalize_metrics(m1).items()}
+
+    mesh = create_mesh(data=2, model=4)
+    step_sp = compile_eval_step(mesh, NUM_CLASSES, tensor_parallel=False,
+                                compute_dtype=jnp.float32,
+                                example_params=state.params,
+                                spatial_partition=True)
+    sp = NamedSharding(mesh, spatial_spec())
+    m_s = jax.device_put(empty_metrics_state(NUM_CLASSES),
+                         NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    m_s = step_sp(state.params, m_s,
+                  jax.device_put(images, sp), jax.device_put(labels, sp),
+                  jax.device_put(mask, NamedSharding(mesh, jax.sharding.PartitionSpec("data"))))
+    vals_s = {k: float(v) for k, v in finalize_metrics(m_s).items()}
+    for k in vals1:
+        np.testing.assert_allclose(vals_s[k], vals1[k], rtol=1e-5, err_msg=k)
+
+
+def test_spatial_eval_rejects_tensor_parallel(model_state):
+    from fcn8s_tensorflow_tpu.parallel.steps import compile_eval_step
+
+    state, _ = model_state
+    mesh = create_mesh(data=4, model=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compile_eval_step(mesh, NUM_CLASSES, tensor_parallel=True,
+                          example_params=state.params, spatial_partition=True)
