@@ -46,6 +46,15 @@ def main():
     p.add_argument("--device-augment", action="store_true",
                    help="run flip/brightness on-device inside the train step")
     p.add_argument("--tensor-parallel", action="store_true")
+    p.add_argument("--variant", default="fcn8s",
+                   choices=["fcn8s", "fcn16s", "fcn32s"],
+                   help="FCN family member (the reference ships only fcn8s)")
+    p.add_argument("--gradient-accumulation", type=int, default=1,
+                   help="microbatches per optimizer step (exact; for "
+                        "batch-16 at full resolution on one chip)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the encoder blocks (activation HBM "
+                        "for FLOPs — full-resolution training)")
     args = p.parse_args()
 
     train_gen = BatchGenerator(
@@ -84,6 +93,8 @@ def main():
         num_classes=NUM_TRAIN_CLASSES,
         vgg16_dir=args.vgg16_dir,
         tensor_parallel=args.tensor_parallel,
+        variant=args.variant,
+        remat=args.remat,
     )
 
     steps_per_epoch = ceil(train_gen.get_num_files() / args.batch_size)
@@ -109,6 +120,7 @@ def main():
         summaries_dir=os.path.join(args.out, "tensorboard"),
         summaries_name="fcn8s",
         device_augment={"flip": 0.5, "brightness": (0.8, 1.2, 0.5)} if args.device_augment else None,
+        gradient_accumulation=args.gradient_accumulation,
     )
 
     # final evaluation + qualitative results (tutorial cells 19-26)
