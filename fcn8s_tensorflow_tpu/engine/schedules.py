@@ -35,3 +35,35 @@ def reference_tutorial_schedule():
 
 def constant(lr: float):
     return lambda step: lr
+
+
+def warmup_cosine(peak_lr: float, total_steps: int, *, warmup_steps: int = 0,
+                  final_lr: float = 0.0):
+    """Linear warmup to ``peak_lr`` over ``warmup_steps``, then cosine decay
+    to ``final_lr`` at ``total_steps`` (beyond-reference convenience; the
+    reference only ever used piecewise-constant steps). Still a plain
+    ``step -> float`` callable — same zero-recompile traced-scalar path."""
+    import math
+
+    if total_steps <= warmup_steps:
+        raise ValueError("total_steps must exceed warmup_steps")
+
+    def schedule(step: int) -> float:
+        if step < warmup_steps:
+            return peak_lr * (step + 1) / warmup_steps
+        t = min(1.0, (step - warmup_steps) / (total_steps - warmup_steps))
+        return final_lr + 0.5 * (peak_lr - final_lr) * (1 + math.cos(math.pi * t))
+
+    return schedule
+
+
+def exponential_decay(initial_lr: float, decay_steps: int, decay_rate: float,
+                      *, staircase: bool = False):
+    """``initial_lr * decay_rate ** (step / decay_steps)`` —
+    ``tf.train.exponential_decay`` semantics for users migrating schedules."""
+
+    def schedule(step: int) -> float:
+        exponent = step // decay_steps if staircase else step / decay_steps
+        return initial_lr * decay_rate ** exponent
+
+    return schedule

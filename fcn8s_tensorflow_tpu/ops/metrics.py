@@ -74,15 +74,22 @@ def update_metrics_state(
     }
 
 
-def mean_iou_from_confusion(conf_matrix):
-    """``tf.metrics.mean_iou`` semantics (`fcn8s_tensorflow.py:291-293`):
-    per-class IoU = diag / (row + col - diag), averaged over classes whose
-    denominator is > 0."""
+def per_class_iou_from_confusion(conf_matrix):
+    """(C,) per-class IoU = diag / (row + col - diag); NaN-free: classes
+    absent from both GT and prediction report 0 with an invalid flag.
+    Returns (iou, valid_mask)."""
     conf = conf_matrix.astype(jnp.float32)
     diag = jnp.diagonal(conf)
     denom = conf.sum(axis=0) + conf.sum(axis=1) - diag
     valid = denom > 0
     iou = jnp.where(valid, diag / jnp.where(valid, denom, 1.0), 0.0)
+    return iou, valid
+
+
+def mean_iou_from_confusion(conf_matrix):
+    """``tf.metrics.mean_iou`` semantics (`fcn8s_tensorflow.py:291-293`):
+    per-class IoU averaged over classes whose denominator is > 0."""
+    iou, valid = per_class_iou_from_confusion(conf_matrix)
     n_valid = jnp.maximum(valid.sum(), 1)
     return iou.sum() / n_valid
 

@@ -141,3 +141,35 @@ def test_masked_update_excludes_padding(rng):
     )
     for k in masked:
         np.testing.assert_allclose(np.asarray(masked[k]), np.asarray(plain[k]), rtol=1e-6)
+
+
+def test_per_class_iou_hand_computed():
+    from fcn8s_tensorflow_tpu.ops.metrics import per_class_iou_from_confusion
+
+    # conf: gt rows, pred cols. class0: diag 2, row 3, col 3 -> 2/4
+    # class1: diag 1, row 2, col 3 -> 1/4; class2 absent -> invalid
+    conf = jnp.asarray([[2, 1, 0], [2, 1, 0], [0, 0, 0]], jnp.int32)
+    # col sums: [4, 2, 0]; class0: 2/(3+4-2)=2/5; class1: 1/(3+2-1)=1/4
+    iou, valid = per_class_iou_from_confusion(conf)
+    np.testing.assert_allclose(np.asarray(iou), [2 / 5, 1 / 4, 0.0], rtol=1e-6)
+    assert np.asarray(valid).tolist() == [True, True, False]
+
+
+def test_extra_schedules():
+    from fcn8s_tensorflow_tpu.engine.schedules import exponential_decay, warmup_cosine
+
+    s = warmup_cosine(1.0, 100, warmup_steps=10, final_lr=0.1)
+    assert abs(s(0) - 0.1) < 1e-9          # first warmup step: peak/10
+    assert abs(s(9) - 1.0) < 1e-9          # warmup end
+    assert abs(s(10) - 1.0) < 1e-9         # cosine start
+    assert abs(s(100) - 0.1) < 1e-9        # decayed to final
+    assert s(55) < 1.0 and s(55) > 0.1     # mid-decay
+    with np.testing.assert_raises(Exception):
+        warmup_cosine(1.0, 5, warmup_steps=5)
+
+    e = exponential_decay(1.0, 10, 0.5)
+    assert abs(e(0) - 1.0) < 1e-9
+    assert abs(e(10) - 0.5) < 1e-9
+    assert abs(e(5) - 0.5 ** 0.5) < 1e-9
+    es = exponential_decay(1.0, 10, 0.5, staircase=True)
+    assert abs(es(9) - 1.0) < 1e-9 and abs(es(10) - 0.5) < 1e-9
