@@ -90,3 +90,19 @@ class StepTimer:
             "p95_ms": float(np.percentile(arr, 95) * 1e3),
             "max_ms": float(arr.max() * 1e3),
         }
+
+
+def memory_stats(device=None) -> dict:
+    """Device memory snapshot (HBM bytes in use / limit / peak where the
+    backend reports them; CPU backends report {}). The reference has no
+    memory observability at all — OOMs surfaced as raw TF aborts."""
+    device = device if device is not None else jax.devices()[0]
+    stats = getattr(device, "memory_stats", lambda: None)() or {}
+    out = {}
+    for key in ("bytes_in_use", "bytes_limit", "peak_bytes_in_use",
+                "largest_alloc_size"):
+        if key in stats:
+            out[key] = int(stats[key])
+    if "bytes_in_use" in out and "bytes_limit" in out and out["bytes_limit"]:
+        out["utilization"] = round(out["bytes_in_use"] / out["bytes_limit"], 4)
+    return out

@@ -47,3 +47,12 @@ def test_annotate_and_trace(tmp_path):
     # some trace artifact should exist (plugins/... on CPU backend)
     found = any(files for _, _, files in os.walk(tmp_path))
     assert found
+
+
+def test_memory_stats_shape():
+    from fcn8s_tensorflow_tpu.utils.profiling import memory_stats
+
+    stats = memory_stats()
+    assert isinstance(stats, dict)  # CPU backend may report {}
+    for v in stats.values():
+        assert isinstance(v, (int, float))
