@@ -533,16 +533,19 @@ class FCN8s:
             if metrics and epoch % eval_frequency == 0:
                 if eval_dataset == "train":
                     # share the (prefetched) training stream, like the
-                    # reference shares the raw iterator
+                    # reference shares the raw iterator; its batches carry
+                    # the TRAINING sharding, so the eval step must match
                     self._evaluate(
                         train_stream, metrics, steps_per_epoch,
                         description="Evaluation on training dataset",
                         device_stream=True,
+                        spatial_partition=spatial_partition,
                     )
                 else:
                     self._evaluate(
                         val_generator, metrics, val_steps,
                         description="Evaluation on validation dataset",
+                        spatial_partition=spatial_partition,
                     )
                 if logger is not None:
                     logger.log_evaluation(

@@ -414,7 +414,10 @@ def test_predict_spatial_partition_matches_default():
 
 @pytest.mark.slow
 def test_train_spatial_partitioned_facade():
-    """Facade spatial-partitioned training on a (2 data x 4 model) mesh."""
+    """Facade spatial-partitioned training on a (2 data x 4 model) mesh,
+    including mid-training evaluation (regression: the shared train stream
+    carries the spatial sharding, so the eval step must be compiled
+    spatial too — previously a jit in_shardings mismatch crash)."""
     from fcn8s_tensorflow_tpu.parallel.mesh import create_mesh
 
     mesh = create_mesh(data=2, model=4)
@@ -426,10 +429,13 @@ def test_train_spatial_partitioned_facade():
         steps_per_epoch=12,
         learning_rate_schedule=constant(2e-3),
         keep_prob=1.0,
-        eval_frequency=10,
+        metrics={"loss", "accuracy"},
+        eval_frequency=1,
+        eval_dataset="train",
         record_summaries=False,
         spatial_partition=True,
     )
+    assert len(model.metric_values) == 2  # mid-training eval ran
     assert model.training_loss < 1.0
     assert (model.predict(images) == labels).mean() > 0.5
     model.close()
