@@ -319,3 +319,25 @@ def test_spatial_eval_rejects_tensor_parallel(model_state):
     with pytest.raises(ValueError, match="mutually exclusive"):
         compile_eval_step(mesh, NUM_CLASSES, tensor_parallel=True,
                           example_params=state.params, spatial_partition=True)
+
+
+def test_spatial_with_grad_accum_composes(model_state, rng):
+    """The two memory-scaling modes compose: width sharding + microbatch
+    scan in one compiled step."""
+    from jax.sharding import NamedSharding
+
+    from fcn8s_tensorflow_tpu.parallel.mesh import spatial_spec
+
+    state, optimizer = model_state
+    mesh = create_mesh(data=2, model=4)
+    step = compile_train_step(mesh, optimizer, NUM_CLASSES, tensor_parallel=False,
+                              compute_dtype=jnp.float32, example_state=state,
+                              spatial_partition=True, grad_accum=2, donate=False)
+    images = rng.integers(0, 255, size=(4, 32, 128, 3), dtype=np.uint8)
+    labels = rng.integers(0, NUM_CLASSES, size=(4, 32, 128), dtype=np.uint8)
+    sp = NamedSharding(mesh, spatial_spec())
+    new, loss = step(state, jax.device_put(images, sp), jax.device_put(labels, sp),
+                     jax.device_put(np.ones((4,), np.float32), batch_sharding(mesh)),
+                     jax.random.PRNGKey(1), 1e-3, 0.0, 1.0)
+    assert np.isfinite(float(loss))
+    assert int(new.step) == 1
