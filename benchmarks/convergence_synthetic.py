@@ -66,6 +66,8 @@ def main():
                    help="override the pass threshold (default 0.5 for fcn8s, "
                         "0.35 for the coarser variants)")
     args = p.parse_args()
+    if args.steps < args.eval_every:
+        p.error(f"--steps ({args.steps}) must be >= --eval-every ({args.eval_every})")
 
     from fcn8s_tensorflow_tpu import FCN8s
     from fcn8s_tensorflow_tpu.engine.schedules import constant

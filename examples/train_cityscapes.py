@@ -118,7 +118,7 @@ def main():
         record_summaries=True,
         summaries_frequency=10,
         summaries_dir=os.path.join(args.out, "tensorboard"),
-        summaries_name="fcn8s",
+        summaries_name=args.variant,
         device_augment={"flip": 0.5, "brightness": (0.8, 1.2, 0.5)} if args.device_augment else None,
         gradient_accumulation=args.gradient_accumulation,
     )

@@ -362,6 +362,15 @@ class FCN8s:
             )
         return (*arrays, mask)
 
+    def _spatial_sharding(self):
+        """NamedSharding for width-over-'model' inputs (one construction
+        shared by the train stream, evaluation, and predict dispatch)."""
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import spatial_spec
+
+        return NamedSharding(self.mesh, spatial_spec())
+
     def _put_batch(self, images, label_ids=None, sample_mask=None):
         sharding = batch_sharding(self.mesh)
         out = [jax.device_put(np.ascontiguousarray(images), sharding)]
@@ -611,11 +620,7 @@ class FCN8s:
                 yield images_p, np.ascontiguousarray(label_ids_p), mask
 
         if getattr(self, "_train_spatial", False):
-            from jax.sharding import NamedSharding
-
-            from ..parallel.mesh import spatial_spec
-
-            sp = NamedSharding(self.mesh, spatial_spec())
+            sp = self._spatial_sharding()
             shardings = (sp, sp, batch_sharding(self.mesh))
         else:
             shardings = batch_sharding(self.mesh)
@@ -680,6 +685,7 @@ class FCN8s:
         metrics_state = jax.device_put(
             empty_metrics_state(self.num_classes), replicated(self.mesh)
         )
+        sp = self._spatial_sharding() if spatial_partition else None
         tr = trange(num_batches, file=sys.stdout)
         tr.set_description(description)
         for _ in tr:
@@ -689,12 +695,7 @@ class FCN8s:
                 images, labels = next(data_generator)
                 label_ids = self._labels_to_ids(np.asarray(labels))
                 images, label_ids, mask = self._pad_batch_dim(np.asarray(images), label_ids)
-                if spatial_partition:
-                    from jax.sharding import NamedSharding
-
-                    from ..parallel.mesh import spatial_spec
-
-                    sp = NamedSharding(self.mesh, spatial_spec())
+                if sp is not None:
                     im_d = jax.device_put(np.ascontiguousarray(images), sp)
                     lb_d = jax.device_put(np.ascontiguousarray(label_ids), sp)
                     mask_d = jax.device_put(mask, batch_sharding(self.mesh))
@@ -760,12 +761,8 @@ class FCN8s:
                                     quantized)
         call_params = self._quantized_params() if quantized else self.state.params
         if spatial_partition:
-            from jax.sharding import NamedSharding
-
-            from ..parallel.mesh import spatial_spec
-
             im_d = jax.device_put(
-                np.ascontiguousarray(padded), NamedSharding(self.mesh, spatial_spec())
+                np.ascontiguousarray(padded), self._spatial_sharding()
             )
         else:
             im_d = self._put_batch(padded)

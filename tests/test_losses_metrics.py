@@ -146,10 +146,10 @@ def test_masked_update_excludes_padding(rng):
 def test_per_class_iou_hand_computed():
     from fcn8s_tensorflow_tpu.ops.metrics import per_class_iou_from_confusion
 
-    # conf: gt rows, pred cols. class0: diag 2, row 3, col 3 -> 2/4
-    # class1: diag 1, row 2, col 3 -> 1/4; class2 absent -> invalid
+    # conf: gt rows, pred cols; row sums [3, 3, 0], col sums [4, 2, 0]
+    # class0: diag 2 -> 2/(3+4-2) = 2/5; class1: diag 1 -> 1/(3+2-1) = 1/4
+    # class2: absent from GT and prediction -> invalid
     conf = jnp.asarray([[2, 1, 0], [2, 1, 0], [0, 0, 0]], jnp.int32)
-    # col sums: [4, 2, 0]; class0: 2/(3+4-2)=2/5; class1: 1/(3+2-1)=1/4
     iou, valid = per_class_iou_from_confusion(conf)
     np.testing.assert_allclose(np.asarray(iou), [2 / 5, 1 / 4, 0.0], rtol=1e-6)
     assert np.asarray(valid).tolist() == [True, True, False]
