@@ -21,85 +21,18 @@ class DevicePrefetcher:
 
     ``sharding`` may be a single sharding applied to every array in the
     batch tuple, or a tuple matching the batch structure.
-
-    ``workers > 1`` runs the HOST side (pulling/producing batches) on a
-    small thread pool with an order-preserving reorder buffer — for host
-    pipelines heavy enough to outweigh the device step (decode + OpenCV
-    augmentation releases the GIL, so threads genuinely overlap). Batch
-    ORDER is preserved exactly (each worker tags its pull with a sequence
-    number taken under the iterator lock), so seeded-run determinism is
-    unaffected; only wall-clock changes.
     """
 
     _SENTINEL = object()
 
-    def __init__(self, iterator, sharding, depth: int = 2, workers: int = 1):
+    def __init__(self, iterator, sharding, depth: int = 2):
         self._iterator = iterator
         self._sharding = sharding
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._err = None
         self._stop = threading.Event()
-        if workers <= 1:
-            self._thread = threading.Thread(target=self._worker, daemon=True)
-            self._thread.start()
-            self._threads = [self._thread]
-        else:
-            self._seq_lock = threading.Lock()
-            self._next_pull = 0
-            self._emit_lock = threading.Lock()
-            self._next_emit = 0
-            self._reorder: dict[int, object] = {}
-            self._emit_cv = threading.Condition(self._emit_lock)
-            self._done_workers = 0
-            self._n_workers = workers
-            self._threads = [
-                threading.Thread(target=self._pool_worker, daemon=True)
-                for _ in range(workers)
-            ]
-            for t in self._threads:
-                t.start()
-            self._thread = self._threads[0]  # close() joins all via _threads
-
-    def _pool_worker(self):
-        """Multi-worker host loop: pull (seq, batch) under the iterator
-        lock, device_put outside it, then emit strictly in sequence."""
-        try:
-            while not self._stop.is_set():
-                with self._seq_lock:
-                    seq = self._next_pull
-                    self._next_pull += 1
-                    try:
-                        batch = next(self._iterator)
-                    except StopIteration:
-                        batch = self._SENTINEL
-                item = (
-                    self._SENTINEL if batch is self._SENTINEL
-                    else self._put_on_device(batch)
-                )
-                with self._emit_cv:
-                    self._reorder[seq] = item
-                    self._emit_cv.notify_all()
-                    while not self._stop.is_set():
-                        # drain every ready-in-order item (any worker may
-                        # be the one whose turn unblocks others)
-                        if self._next_emit in self._reorder:
-                            out = self._reorder.pop(self._next_emit)
-                            self._next_emit += 1
-                            self._emit_cv.release()
-                            try:
-                                self._queue.put(out)
-                            finally:
-                                self._emit_cv.acquire()
-                            continue
-                        if seq in self._reorder:
-                            # our item not yet due: hand off and move on
-                            break
-                        break
-                if batch is self._SENTINEL:
-                    return
-        except Exception as exc:  # surface in the consumer thread
-            self._err = exc
-            self._queue.put(self._SENTINEL)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
 
     def _put_on_device(self, batch):
         if isinstance(batch, tuple):
@@ -134,19 +67,18 @@ class DevicePrefetcher:
         return item
 
     def close(self):
-        """Stop the worker(s) and join them, so a successor prefetcher can
-        safely take over the underlying iterator. Safe to call repeatedly."""
+        """Stop the worker and join it, so a successor prefetcher can safely
+        take over the underlying iterator. Safe to call multiple times."""
         self._stop.set()
-        # drain so workers unblock if waiting on a full queue; bounded wait
-        # (daemon threads — a source iterator blocked on IO cannot be
-        # interrupted, and must not hang the caller)
+        # drain so the worker unblocks if it is waiting on a full queue;
+        # bounded wait (daemon thread — a source iterator blocked on IO
+        # cannot be interrupted, and must not hang the caller)
         deadline = 50
-        while any(t.is_alive() for t in self._threads) and deadline > 0:
+        while self._thread.is_alive() and deadline > 0:
             try:
                 while True:
                     self._queue.get_nowait()
             except queue.Empty:
                 pass
-            for t in self._threads:
-                t.join(timeout=0.1 / len(self._threads))
+            self._thread.join(timeout=0.1)
             deadline -= 1

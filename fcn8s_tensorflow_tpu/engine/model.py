@@ -409,7 +409,6 @@ class FCN8s:
         training_loss_display_averaging=3,
         device_augment=None,
         prefetch=2,
-        prefetch_workers=1,
         gradient_accumulation=1,
         spatial_partition=False,
     ):
@@ -434,10 +433,7 @@ class FCN8s:
         serially with the training step (SURVEY.md §3.2 — "a key
         inefficiency"); here a worker thread decodes/augments/pads and
         ``device_put``s ahead, overlapping H2D DMA with compute. ``0``
-        disables (synchronous, reference behavior). ``prefetch_workers > 1``
-        parallelizes the host pipeline itself on a thread pool with exact
-        order preservation (seeded determinism unaffected) — for
-        decode/augment stages heavier than the device step.
+        disables (synchronous, reference behavior).
 
         ``gradient_accumulation=A`` (TPU-native extra): each generator batch
         is split into A microbatches scanned inside the compiled step with
@@ -505,8 +501,7 @@ class FCN8s:
 
         # Background input pipeline: host decode/pad + device_put ahead of
         # the step, so H2D overlaps compute (see `prefetch` in the docstring).
-        train_stream = self._make_train_stream(train_generator, prefetch,
-                                               prefetch_workers)
+        train_stream = self._make_train_stream(train_generator, prefetch)
 
         for epoch in range(1, epochs + 1):
             tr = trange(steps_per_epoch, file=sys.stdout)
@@ -596,8 +591,7 @@ class FCN8s:
         self._close_train_stream()
         self._join_pending_save()  # don't return with a checkpoint mid-write
 
-    def _make_train_stream(self, train_generator, prefetch: int,
-                           prefetch_workers: int = 1):
+    def _make_train_stream(self, train_generator, prefetch: int):
         """Iterator of device-resident (images, label_ids, mask) triples.
 
         With ``prefetch > 0`` a background thread runs the host pipeline and
@@ -635,8 +629,7 @@ class FCN8s:
             from ..data.prefetch import DevicePrefetcher
 
             self._train_stream = DevicePrefetcher(
-                host_pipeline(), shardings, depth=prefetch,
-                workers=prefetch_workers,
+                host_pipeline(), shardings, depth=prefetch
             )
             return self._train_stream
 

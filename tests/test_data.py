@@ -297,70 +297,3 @@ def test_device_prefetcher_propagates_errors():
     with pytest.raises(RuntimeError, match="boom"):
         next(pf)
         next(pf)
-
-
-def test_multiworker_prefetcher_preserves_order():
-    """workers=3 with jittered host latency must emit batches in exact
-    source order (seq-tagged pulls + reorder buffer — determinism)."""
-    import time
-
-    import jax
-    from jax.sharding import SingleDeviceSharding
-
-    from fcn8s_tensorflow_tpu.data.prefetch import DevicePrefetcher
-
-    rng = np.random.default_rng(0)
-
-    def slow_iter():
-        for i in range(20):
-            time.sleep(float(rng.uniform(0, 0.01)))  # jitter worker timing
-            yield (np.full((2, 2), i, np.int32),)
-
-    pf = DevicePrefetcher(slow_iter(), SingleDeviceSharding(jax.devices()[0]),
-                         depth=4, workers=3)
-    got = [int(np.asarray(b[0])[0, 0]) for b in pf]
-    pf.close()
-    assert got == list(range(20))
-
-
-def test_multiworker_prefetcher_propagates_errors():
-    import jax
-    from jax.sharding import SingleDeviceSharding
-
-    from fcn8s_tensorflow_tpu.data.prefetch import DevicePrefetcher
-
-    def bad_iter():
-        yield (np.zeros((1,), np.float32),)
-        raise RuntimeError("host pipeline exploded")
-
-    pf = DevicePrefetcher(bad_iter(), SingleDeviceSharding(jax.devices()[0]),
-                         depth=2, workers=3)
-    with np.testing.assert_raises(RuntimeError):
-        for _ in pf:
-            pass
-    pf.close()
-
-
-def test_train_with_prefetch_workers():
-    """Facade accepts prefetch_workers and trains identically (tiny run)."""
-    import jax.numpy as jnp
-
-    from fcn8s_tensorflow_tpu.engine.model import FCN8s
-    from fcn8s_tensorflow_tpu.engine.schedules import constant
-
-    rng = np.random.default_rng(0)
-    images = rng.integers(0, 255, (2, 32, 64, 3), np.uint8)
-    labels = rng.integers(0, 3, (2, 32, 64), np.uint8)
-
-    def gen():
-        while True:
-            yield images, labels
-
-    model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
-                  compute_dtype=jnp.float32)
-    model.train(gen(), epochs=1, steps_per_epoch=4,
-                learning_rate_schedule=constant(1e-3), keep_prob=1.0,
-                eval_frequency=10, record_summaries=False,
-                prefetch=2, prefetch_workers=3)
-    assert int(model.state.step) == 4
-    model.close()
