@@ -151,10 +151,22 @@ class BatchGenerator:
         shuffle=True,
         seed=None,
         pad_to_multiple=None,
+        workers=1,
     ):
         """Infinite batch iterator with the reference's exact transform
         pipeline and argument semantics (`batch_generator.py:140-417`);
-        see module docstring for the TPU-first extras."""
+        see module docstring for the TPU-first extras.
+
+        ``workers > 1`` (TPU-first extra): run the per-IMAGE pipeline
+        (decode + OpenCV transforms, which release the GIL) on a thread
+        pool. Each image gets a child RNG derived in path order from the
+        seeded stream, so a given ``seed`` is deterministic and the result
+        is independent of the worker count for ANY workers > 1 — but the
+        random draws differ from the sequential ``workers=1`` stream
+        (which stays byte-identical to previous releases). NOTE: the win
+        requires a multi-core host; the dev environment here exposes ONE
+        core (nproc=1), where threaded cv2/PIL measured ~1.0x by
+        construction — determinism and ordering are what the tests pin."""
         if (convert_to_one_hot or convert_colors_to_ids is not False or convert_ids_to_ids is not False) and not self.ground_truth:
             raise ValueError("Cannot convert ground truth data: No ground truth data given.")
         if convert_to_one_hot and self.num_classes is None:
@@ -164,6 +176,15 @@ class BatchGenerator:
             )
 
         rng = np.random.default_rng(seed)
+        _pool = []
+
+        def executor():
+            if not _pool:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _pool.append(ThreadPoolExecutor(max_workers=workers))
+            return _pool[0]
+
         image_paths = list(self.image_paths)
         if shuffle:
             rng.shuffle(image_paths)
@@ -177,7 +198,7 @@ class BatchGenerator:
                     rng.shuffle(image_paths)
                 current = 0
 
-            for image_path in image_paths[current : current + batch_size]:
+            def process_one(image_path, prng):
                 image = _imread(image_path)
                 if image.ndim == 2:
                     image = np.stack([image] * 3, axis=-1)
@@ -201,23 +222,23 @@ class BatchGenerator:
                 # --- augmentation pipeline, reference order ---
                 if random_crop:
                     image, gt_image = augment.random_crop_with_void(
-                        rng, image, gt_image, random_crop, void_class_id
+                        prng, image, gt_image, random_crop, void_class_id
                     )
                 if crop:
                     image, gt_image = augment.fixed_crop(image, gt_image, crop)
                 if resize:
                     image, gt_image = augment.resize_pair(image, gt_image, resize)
-                if brightness and rng.random() >= (1 - brightness[2]):
-                    image = augment.brightness_hsv(rng, image, brightness[0], brightness[1])
-                if flip and rng.random() >= (1 - flip):
+                if brightness and prng.random() >= (1 - brightness[2]):
+                    image = augment.brightness_hsv(prng, image, brightness[0], brightness[1])
+                if flip and prng.random() >= (1 - flip):
                     image, gt_image = augment.horizontal_flip(image, gt_image)
-                if translate and rng.random() >= (1 - translate[2]):
+                if translate and prng.random() >= (1 - translate[2]):
                     image, gt_image = augment.translate(
-                        rng, image, gt_image, translate[0], translate[1], void_class_id
+                        prng, image, gt_image, translate[0], translate[1], void_class_id
                     )
-                if scale and rng.random() >= (1 - scale[2]):
+                if scale and prng.random() >= (1 - scale[2]):
                     image, gt_image = augment.scale_zoom(
-                        rng, image, gt_image, scale[0], scale[1], void_class_id
+                        prng, image, gt_image, scale[0], scale[1], void_class_id
                     )
                 if gray:
                     image = augment.grayscale(image)
@@ -235,16 +256,32 @@ class BatchGenerator:
                 if convert_to_one_hot:
                     gt_image = convert_ids_to_one_hot(gt_image, self.num_classes)
 
+                return image, gt_image
+
+            chunk = image_paths[current : current + batch_size]
+            if workers > 1:
+                # per-image child RNGs derived in path order: deterministic
+                # for a given seed, independent of the worker count
+                prngs = [np.random.default_rng(rng.integers(2**63)) for _ in chunk]
+                results = list(executor().map(process_one, chunk, prngs))
+            else:
+                results = [process_one(path, rng) for path in chunk]
+            for image, gt_image in results:
                 images.append(image)
                 if self.ground_truth:
                     gt_images.append(gt_image)
 
             current += batch_size
 
-            if self.ground_truth:
-                yield np.array(images), np.array(gt_images)
-            else:
-                yield np.array(images)
+            try:
+                if self.ground_truth:
+                    yield np.array(images), np.array(gt_images)
+                else:
+                    yield np.array(images)
+            except GeneratorExit:
+                if _pool:
+                    _pool[0].shutdown(wait=False)
+                raise
 
     # ------------------------------------------------------------------
     def process_all(

@@ -297,3 +297,28 @@ def test_device_prefetcher_propagates_errors():
     with pytest.raises(RuntimeError, match="boom"):
         next(pf)
         next(pf)
+
+
+def test_generate_workers_deterministic_and_pool_size_independent(cityscapes_tree):
+    """workers>1: same seed -> identical stream; independent of the worker
+    count (child RNGs derive in path order, not worker order)."""
+    aug = dict(batch_size=3, convert_to_one_hot=False, seed=7,
+               flip=0.5, brightness=(0.7, 1.3, 0.5),
+               translate=((0, 4), (0, 4), 0.5), void_class_id=0,
+               resize=(32, 48))
+
+    def take(workers, n=4):
+        gen = _make_gen(cityscapes_tree).generate(workers=workers, **aug)
+        out = [next(gen) for _ in range(n)]
+        gen.close()
+        return out
+
+    a, b, c = take(2), take(2), take(3)
+    for (ia, ga), (ib, gb), (ic, gc) in zip(a, b, c):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ga, gb)
+        np.testing.assert_array_equal(ia, ic)  # pool-size independent
+        np.testing.assert_array_equal(ga, gc)
+    # sequential stream unchanged and same shapes
+    s = take(1)
+    assert s[0][0].shape == a[0][0].shape
