@@ -190,98 +190,100 @@ class BatchGenerator:
             rng.shuffle(image_paths)
         current = 0
 
-        while True:
-            images, gt_images = [], []
+        # try/finally (not only GeneratorExit): a raising process_one
+        # (e.g. unreadable image file) must also shut the worker pool
+        # down instead of leaking threads until GC (ADVICE r2)
+        try:
+            while True:
+                images, gt_images = [], []
 
-            if current >= len(image_paths):
-                if shuffle:
-                    rng.shuffle(image_paths)
-                current = 0
+                if current >= len(image_paths):
+                    if shuffle:
+                        rng.shuffle(image_paths)
+                    current = 0
 
-            def process_one(image_path, prng):
-                image = _imread(image_path)
-                if image.ndim == 2:
-                    image = np.stack([image] * 3, axis=-1)
-                gt_image, gt_path = None, None
+                def process_one(image_path, prng):
+                    image = _imread(image_path)
+                    if image.ndim == 2:
+                        image = np.stack([image] * 3, axis=-1)
+                    gt_image, gt_path = None, None
 
-                if self.ground_truth:
-                    gt_path = self.ground_truth_paths[os.path.basename(image_path)]
-                    gt_image = _imread(gt_path)
-                    gt_dtype = gt_image.dtype
-
-                    if convert_colors_to_ids is not False:
-                        gt_image = convert_between_ids_and_colors(
-                            gt_image, convert_colors_to_ids, gt_dtype=gt_dtype
-                        )
-                    if convert_ids_to_ids is not False:
-                        if isinstance(convert_ids_to_ids, np.ndarray):
-                            gt_image = _remap_ids_lut(gt_image, convert_ids_to_ids)
-                        elif isinstance(convert_ids_to_ids, dict):
-                            gt_image = _remap_ids_dict(gt_image, convert_ids_to_ids)
-
-                # --- augmentation pipeline, reference order ---
-                if random_crop:
-                    image, gt_image = augment.random_crop_with_void(
-                        prng, image, gt_image, random_crop, void_class_id
-                    )
-                if crop:
-                    image, gt_image = augment.fixed_crop(image, gt_image, crop)
-                if resize:
-                    image, gt_image = augment.resize_pair(image, gt_image, resize)
-                if brightness and prng.random() >= (1 - brightness[2]):
-                    image = augment.brightness_hsv(prng, image, brightness[0], brightness[1])
-                if flip and prng.random() >= (1 - flip):
-                    image, gt_image = augment.horizontal_flip(image, gt_image)
-                if translate and prng.random() >= (1 - translate[2]):
-                    image, gt_image = augment.translate(
-                        prng, image, gt_image, translate[0], translate[1], void_class_id
-                    )
-                if scale and prng.random() >= (1 - scale[2]):
-                    image, gt_image = augment.scale_zoom(
-                        prng, image, gt_image, scale[0], scale[1], void_class_id
-                    )
-                if gray:
-                    image = augment.grayscale(image)
-
-                if pad_to_multiple:
-                    image, gt_image = _pad_to_multiple(
-                        image, gt_image, pad_to_multiple, void_class_id or 0
-                    )
-
-                if to_disk:
-                    self._save_mirrored(image_path, image)
                     if self.ground_truth:
-                        self._save_mirrored(gt_path, gt_image)
+                        gt_path = self.ground_truth_paths[os.path.basename(image_path)]
+                        gt_image = _imread(gt_path)
+                        gt_dtype = gt_image.dtype
 
-                if convert_to_one_hot:
-                    gt_image = convert_ids_to_one_hot(gt_image, self.num_classes)
+                        if convert_colors_to_ids is not False:
+                            gt_image = convert_between_ids_and_colors(
+                                gt_image, convert_colors_to_ids, gt_dtype=gt_dtype
+                            )
+                        if convert_ids_to_ids is not False:
+                            if isinstance(convert_ids_to_ids, np.ndarray):
+                                gt_image = _remap_ids_lut(gt_image, convert_ids_to_ids)
+                            elif isinstance(convert_ids_to_ids, dict):
+                                gt_image = _remap_ids_dict(gt_image, convert_ids_to_ids)
 
-                return image, gt_image
+                    # --- augmentation pipeline, reference order ---
+                    if random_crop:
+                        image, gt_image = augment.random_crop_with_void(
+                            prng, image, gt_image, random_crop, void_class_id
+                        )
+                    if crop:
+                        image, gt_image = augment.fixed_crop(image, gt_image, crop)
+                    if resize:
+                        image, gt_image = augment.resize_pair(image, gt_image, resize)
+                    if brightness and prng.random() >= (1 - brightness[2]):
+                        image = augment.brightness_hsv(prng, image, brightness[0], brightness[1])
+                    if flip and prng.random() >= (1 - flip):
+                        image, gt_image = augment.horizontal_flip(image, gt_image)
+                    if translate and prng.random() >= (1 - translate[2]):
+                        image, gt_image = augment.translate(
+                            prng, image, gt_image, translate[0], translate[1], void_class_id
+                        )
+                    if scale and prng.random() >= (1 - scale[2]):
+                        image, gt_image = augment.scale_zoom(
+                            prng, image, gt_image, scale[0], scale[1], void_class_id
+                        )
+                    if gray:
+                        image = augment.grayscale(image)
 
-            chunk = image_paths[current : current + batch_size]
-            if workers > 1:
-                # per-image child RNGs derived in path order: deterministic
-                # for a given seed, independent of the worker count
-                prngs = [np.random.default_rng(rng.integers(2**63)) for _ in chunk]
-                results = list(executor().map(process_one, chunk, prngs))
-            else:
-                results = [process_one(path, rng) for path in chunk]
-            for image, gt_image in results:
-                images.append(image)
-                if self.ground_truth:
-                    gt_images.append(gt_image)
+                    if pad_to_multiple:
+                        image, gt_image = _pad_to_multiple(
+                            image, gt_image, pad_to_multiple, void_class_id or 0
+                        )
 
-            current += batch_size
+                    if to_disk:
+                        self._save_mirrored(image_path, image)
+                        if self.ground_truth:
+                            self._save_mirrored(gt_path, gt_image)
 
-            try:
+                    if convert_to_one_hot:
+                        gt_image = convert_ids_to_one_hot(gt_image, self.num_classes)
+
+                    return image, gt_image
+
+                chunk = image_paths[current : current + batch_size]
+                if workers > 1:
+                    # per-image child RNGs derived in path order: deterministic
+                    # for a given seed, independent of the worker count
+                    prngs = [np.random.default_rng(rng.integers(2**63)) for _ in chunk]
+                    results = list(executor().map(process_one, chunk, prngs))
+                else:
+                    results = [process_one(path, rng) for path in chunk]
+                for image, gt_image in results:
+                    images.append(image)
+                    if self.ground_truth:
+                        gt_images.append(gt_image)
+
+                current += batch_size
+
                 if self.ground_truth:
                     yield np.array(images), np.array(gt_images)
                 else:
                     yield np.array(images)
-            except GeneratorExit:
-                if _pool:
-                    _pool[0].shutdown(wait=False)
-                raise
+        finally:
+            if _pool:
+                _pool[0].shutdown(wait=False)
 
     # ------------------------------------------------------------------
     def process_all(

@@ -30,8 +30,25 @@ import numpy as np
 from flax import serialization
 
 
+# Bump on any incompatible change to the on-disk layout (payload keys, leaf
+# ordering convention, manifest schema). Readers accept <= their own version
+# and reject newer ones with a clear error instead of a shape mismatch deep
+# in unflattening. Checkpoints written before the field existed load as v1.
+CHECKPOINT_FORMAT_VERSION = 1
+
+
 def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def _check_format_version(meta: dict, directory: str) -> None:
+    version = int(meta.get("format_version", 1))
+    if version > CHECKPOINT_FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint at '{directory}' has format_version {version}, but this "
+            f"build reads <= {CHECKPOINT_FORMAT_VERSION} — upgrade the library "
+            "or re-save the checkpoint with a matching version"
+        )
 
 
 def compose_checkpoint_name(
@@ -84,6 +101,7 @@ def save_checkpoint(directory: str, state, metadata: dict, *, max_to_keep: int |
     with open(os.path.join(directory, "checkpoint.msgpack"), "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
     metadata = dict(metadata)
+    metadata["format_version"] = CHECKPOINT_FORMAT_VERSION
     metadata["param_paths"] = [
         _path_str(p) for p, _ in jax.tree_util.tree_flatten_with_path(tree["params"])[0]
     ]
@@ -101,7 +119,9 @@ def _prune_old_checkpoints(parent: str, max_to_keep: int) -> None:
     checkpoints = [
         os.path.join(parent, d)
         for d in os.listdir(parent)
-        if not d.endswith(".tmp")  # in-flight async writes are not checkpoints
+        # in-flight async writes (.tmp) and replaced-aside old versions
+        # (.old) are not checkpoints
+        if not d.endswith((".tmp", ".old"))
         and os.path.isfile(os.path.join(parent, d, "checkpoint.msgpack"))
     ]
     checkpoints.sort(key=os.path.getmtime)
@@ -134,10 +154,20 @@ def save_checkpoint_async(directory: str, state, metadata: dict, *,
     def _write():
         try:
             tmp = directory.rstrip("/") + ".tmp"
+            old = directory.rstrip("/") + ".old"
             save_checkpoint(tmp, snapshot, metadata, max_to_keep=None)
+            # Crash-safe replace of an existing checkpoint at this path:
+            # rename the old one ASIDE first (atomic), then promote the new
+            # one (atomic), then delete the old. At every instant either the
+            # old or the new complete checkpoint exists under a name
+            # `latest_checkpoint` can see — rmtree-before-rename had a
+            # window destroying both (ADVICE r2).
+            if os.path.isdir(old):
+                shutil.rmtree(old)
             if os.path.isdir(directory):
-                shutil.rmtree(directory)
+                os.rename(directory, old)
             os.rename(tmp, directory)
+            shutil.rmtree(old, ignore_errors=True)
             if max_to_keep is not None:
                 _prune_old_checkpoints(
                     os.path.dirname(directory.rstrip("/")), max_to_keep)
@@ -182,6 +212,7 @@ def _unflatten_like(example, leaves):
 def load_checkpoint(directory: str, example_tree):
     """Restore into the structure of ``example_tree`` (a dict with 'params'
     and optionally 'step'/'opt_state' — pass the matching structure)."""
+    _check_format_version(load_metadata(directory), directory)
     with open(os.path.join(directory, "checkpoint.msgpack"), "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     out = {"params": _unflatten_like(example_tree["params"], raw["params_leaves"])}
@@ -196,9 +227,10 @@ def load_params_only(directory: str, example_params):
     weights — the reference's ``load_variables``, `fcn8s_tensorflow.py:938-944`).
     ``example_params`` may be a sub-tree (e.g. only the encoder): the leaf
     list is matched by parameter *path*, so partial restores work."""
+    meta = load_metadata(directory)
+    _check_format_version(meta, directory)
     with open(os.path.join(directory, "checkpoint.msgpack"), "rb") as f:
         raw = serialization.msgpack_restore(f.read())
-    meta = load_metadata(directory)
     full_paths = meta.get("param_paths")
     leaves = list(raw["params_leaves"].values()) if isinstance(raw["params_leaves"], dict) else list(raw["params_leaves"])
     if full_paths is None:
@@ -255,7 +287,12 @@ def latest_checkpoint(parent: str) -> str | None:
     candidates = [
         os.path.join(parent, d)
         for d in os.listdir(parent)
-        if not d.endswith(".tmp")  # skip in-flight async writes
+        # skip in-flight async writes (.tmp, possibly half-written). A
+        # rename-aside `.old` from save_checkpoint_async IS a complete
+        # checkpoint and stays visible: it is the fallback if a crash hit
+        # between the rename-aside and the promote; while both exist the
+        # freshly-created replacement always has the later mtime.
+        if not d.endswith(".tmp")
         and os.path.isfile(os.path.join(parent, d, "checkpoint.msgpack"))
     ]
     return max(candidates, key=os.path.getmtime) if candidates else None

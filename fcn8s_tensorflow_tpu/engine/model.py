@@ -649,7 +649,14 @@ class FCN8s:
 
     def _monitor_improved(self, monitor, metrics, epoch, eval_frequency) -> bool:
         """Documented save-best-only semantics: save iff the monitored value
-        improved on its historical best (lower for loss, higher otherwise)."""
+        improved on its historical best (lower for loss, higher otherwise).
+
+        Warm-up caveat (first save wins): until the monitored metric has
+        been measured at least once (i.e. before the first eval when
+        ``monitor`` is an eval metric), every ``save_frequency`` epoch
+        saves unconditionally — "best so far" is undefined, and losing the
+        early checkpoints to a strict reading of best-only would be worse.
+        Pinned by tests/test_checkpoint.py::test_monitor_first_save_wins."""
         if monitor == "loss" and "loss" not in self.metric_names:
             return self.training_loss is not None and self.training_loss < self.best_training_loss
         if monitor not in self.metric_names:
@@ -800,7 +807,9 @@ class FCN8s:
         overlapping tiles of one fixed shape, each tile's prediction is
         computed by ONE shared compiled executable, and only each tile's
         non-overlapping core is pasted into the output. For arbitrarily
-        large images this (a) caps activation HBM at one tile's worth,
+        large images this (a) caps activation HBM at one dispatch chunk's
+        worth (tiles run in chunks of 8 per data-mesh device, two chunks
+        double-buffered — so ~8 tiles of activations per device, not 1),
         (b) avoids a recompile per input shape, and (c) stays under
         compile-size limits that full mega-resolution graphs can hit.
         Approximate only within ``tile_overlap/2`` px of interior tile

@@ -51,6 +51,9 @@ class InferenceService:
         self.tile = tile
         self.tile_overlap = tile_overlap
         self._lock = threading.Lock()
+        # counters/latencies get their own lock: `_lock` is held for whole
+        # device predicts, and /stats must not block behind one
+        self._stats_lock = threading.Lock()
         self._latencies: deque[float] = deque(maxlen=1000)  # bounded memory
         self.requests = 0
         self.errors = 0
@@ -75,7 +78,13 @@ class InferenceService:
                     image[None], quantized=self.quantized,
                     tile=self.tile, tile_overlap=self.tile_overlap,
                 )[0]
-                mode_img = Image.fromarray(ids.astype(np.uint8), mode="L")
+                if self.model.num_classes > 256:
+                    # uint8 would silently alias ids >= 256; a 16-bit
+                    # grayscale PNG ('I;16') keeps them exact
+                    mode_img = Image.fromarray(ids.astype(np.uint16))
+                else:
+                    mode_img = Image.fromarray(ids.astype(np.uint8), mode="L")
+        with self._stats_lock:
             self._latencies.append(time.perf_counter() - t0)
             self.requests += 1
         buf = io.BytesIO()
@@ -83,10 +92,14 @@ class InferenceService:
         return buf.getvalue()
 
     def stats(self) -> dict:
-        lat = np.asarray(self._latencies) * 1e3
+        # snapshot under the lock: request threads append concurrently and
+        # iterating a mutating deque raises (ADVICE r2)
+        with self._stats_lock:
+            lat = np.asarray(list(self._latencies)) * 1e3
+            requests, errors = self.requests, self.errors
         return {
-            "requests": self.requests,
-            "errors": self.errors,
+            "requests": requests,
+            "errors": errors,
             "p50_ms": float(np.percentile(lat, 50)) if lat.size else None,
             "p95_ms": float(np.percentile(lat, 95)) if lat.size else None,
         }
@@ -137,7 +150,7 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
                 png = service.predict_png(body, overlay=self.path == "/overlay")
                 self._send(200, png, "image/png")
             except Exception as exc:  # noqa: BLE001 — a server must not die
-                with service._lock:
+                with service._stats_lock:
                     service.errors += 1
                 # client payload faults -> 400; anything else (device
                 # failure, server misconfiguration) is OUR fault -> 500 so

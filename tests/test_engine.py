@@ -564,3 +564,62 @@ def test_describe_checkpoint(trained_model, tmp_path):
     assert "checkpoint:" in ckpt_mod.describe_checkpoint(str(tmp_path / "d"))
     with pytest.raises(FileNotFoundError):
         ckpt_mod.describe_checkpoint(str(tmp_path / "nope"))
+
+
+def test_checkpoint_format_version_enforced(trained_model, tmp_path):
+    """The manifest carries format_version; readers reject newer formats
+    with a clear error instead of failing deep in unflattening."""
+    import json as _json
+
+    import fcn8s_tensorflow_tpu.engine.checkpoint as ckpt_mod
+
+    model, _, _ = trained_model
+    path = model.save(str(tmp_path / "ver"), force_save=True)
+    meta = ckpt_mod.load_metadata(path)
+    assert meta["format_version"] == ckpt_mod.CHECKPOINT_FORMAT_VERSION
+
+    meta["format_version"] = ckpt_mod.CHECKPOINT_FORMAT_VERSION + 1
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with pytest.raises(ValueError, match="format_version"):
+        ckpt_mod.load_params_only(path, model.state.params)
+    # pre-versioning checkpoints (no field) still load: treated as v1
+    del meta["format_version"]
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    ckpt_mod.load_params_only(path, model.state.params)
+
+
+def test_async_save_replaces_existing_checkpoint_safely(trained_model, tmp_path):
+    """Re-saving async to an existing directory name goes through a
+    rename-aside (never an rmtree-first window) and leaves no .tmp/.old
+    residue (ADVICE r2)."""
+    model, images, _ = trained_model
+    for _ in range(2):
+        model.variables_updated = True
+        target = model.save(str(tmp_path / "replace_me"), block=False)
+        model._join_pending_save()
+    assert os.path.isfile(os.path.join(target, "checkpoint.msgpack"))
+    assert not os.path.isdir(target + ".tmp")
+    assert not os.path.isdir(target + ".old")
+    reloaded = FCN8s(model_load_dir=target, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(model.predict(images), reloaded.predict(images))
+
+
+def test_monitor_first_save_wins(trained_model):
+    """Warm-up semantics: before the monitored metric is ever measured,
+    every save_frequency epoch saves (documented in _monitor_improved)."""
+    model, _, _ = trained_model
+    names, values, best = model.metric_names, model.metric_values, model.best_metric_values
+    try:
+        model.metric_names, model.metric_values = ["mean_iou"], []
+        model.best_metric_values = [-1.0]
+        assert model._monitor_improved("mean_iou", {"mean_iou"}, 1, 1)  # unmeasured
+        model.metric_values, model.best_metric_values = [0.5], [0.6]
+        assert not model._monitor_improved("mean_iou", {"mean_iou"}, 1, 1)
+        model.metric_values = [0.7]
+        assert model._monitor_improved("mean_iou", {"mean_iou"}, 1, 1)
+        # a monitor that is not tracked at all always saves
+        assert model._monitor_improved("accuracy", {"mean_iou"}, 1, 1)
+    finally:
+        model.metric_names, model.metric_values, model.best_metric_values = names, values, best

@@ -117,3 +117,50 @@ def test_server_fault_maps_to_500(rng):
         srv.shutdown()
         srv.server_close()
         model.close()
+
+
+def test_wide_id_space_uses_16bit_png():
+    """num_classes > 256 must not be truncated into a uint8 PNG — the ids
+    round-trip through a 16-bit grayscale PNG instead (ADVICE r2)."""
+
+    class _WideModel:
+        num_classes = 300
+        model_config = {"num_classes": 300}
+
+        def predict(self, images, **kw):
+            n, h, w = images.shape[:3]
+            ids = np.arange(h * w, dtype=np.int32).reshape(1, h, w) % 300
+            return np.repeat(ids, n, axis=0)
+
+    service = InferenceService(_WideModel())
+    rng = np.random.default_rng(0)
+    png = service.predict_png(_png_bytes(rng, h=20, w=20))
+    out = np.asarray(Image.open(io.BytesIO(png)))
+    assert out.dtype == np.uint16 or out.dtype == np.int32
+    assert out.max() == 299  # ids above 255 survived
+
+
+def test_stats_concurrent_with_predictions(server, rng):
+    """/stats must stay readable while request threads append latencies
+    (snapshot under its own lock — ADVICE r2)."""
+    base, service = server
+    stop = threading.Event()
+    errors = []
+
+    def hammer_stats():
+        while not stop.is_set():
+            try:
+                service.stats()
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=hammer_stats)
+    t.start()
+    try:
+        for _ in range(3):
+            _post(base + "/predict", _png_bytes(rng))
+    finally:
+        stop.set()
+        t.join()
+    assert not errors
