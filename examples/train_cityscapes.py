@@ -119,7 +119,9 @@ def main():
         summaries_frequency=10,
         summaries_dir=os.path.join(args.out, "tensorboard"),
         summaries_name=args.variant,
-        device_augment={"flip": 0.5, "brightness": (0.8, 1.2, 0.5)} if args.device_augment else None,
+        device_augment={"flip": 0.5, "brightness": (0.8, 1.2, 0.5),
+                        "translate": ((0, 16), (0, 8), 0.5),
+                        "scale": (0.8, 1.2, 0.5)} if args.device_augment else None,
         gradient_accumulation=args.gradient_accumulation,
     )
 

@@ -12,9 +12,27 @@ and zoom-out are pad+dynamic-slice with void fill, brightness is arithmetic.
 Per-sample randomness comes from a single folded PRNG key.
 
 Semantics mirror the host pipeline (data/augment.py): images fill with black,
-GT with ``void_class_id``; brightness scales toward the HSV-V behavior
-(a uniform RGB scale with clamp — equal to HSV-V scaling for the clamp-free
-region); each transform applies with its own probability per sample.
+GT with ``void_class_id``; each transform applies with its own probability
+per sample. Every ``BatchGenerator.generate`` transform has a device twin
+here: random_crop / resize / brightness (exact HSV-V) / flip / translate /
+scale-zoom / grayscale — host-equivalence golden tests in
+tests/test_device_augment.py.
+
+Geometric resampling matches the host's cv2 conventions (probed empirically,
+pinned by the golden tests): nearest-neighbor (GT) samples
+``src = floor(dst * src_size/dst_size)``; bilinear (images) uses half-pixel
+centers ``src = (dst + 0.5) * src_size/dst_size - 0.5`` with edge clamp,
+agreeing with cv2's fixed-point result to +/-1. Brightness implements the
+*float-exact* HSV-V scaling (per-pixel factor clamp preserves hue and
+saturation even where V saturates); the residual vs the host is cv2's
+integer H/S quantization only, bounded by test to max<=8 / mean<=1.
+
+Measured cost (v5e, benchmarks/device_augment_bench.py, in-process A/B at
+the headline 8x1024x512 train config): the full flip 0.5 + brightness
+(0.8,1.2,0.5) + translate((0,16),(0,8),0.5) + scale(0.8,1.2,0.5) set adds
+5.2 ms to the 109.4 ms train step (+4.8%) — the scale/translate gathers
+dominate; flip/brightness fuse to ~zero. The reference's equivalent host
+OpenCV pass is serial with the step and costs hundreds of ms per batch.
 """
 
 from __future__ import annotations
@@ -23,6 +41,43 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _bilinear_axis_coords(out_positions, src_size, patch_size):
+    """cv2 INTER_LINEAR half-pixel-center source coordinates for sampling a
+    ``src_size``-long axis at patch positions (float), before edge clamp."""
+    return (out_positions + 0.5) * (src_size / patch_size) - 0.5
+
+
+def _bilinear_sample_hw(img, fy, fx, valid_y, valid_x):
+    """Sample (H,W,C) float at per-axis fractional coords (separable, like
+    cv2), edge-clamped; invalid output rows/cols become 0 (black)."""
+    h, w = img.shape[:2]
+    arr = img.astype(jnp.float32)
+    yf = jnp.clip(fy, 0.0, h - 1.0)
+    y0 = jnp.floor(yf).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wy = (yf - y0)[:, None, None]
+    rows = jnp.take(arr, y0, axis=0) * (1.0 - wy) + jnp.take(arr, y1, axis=0) * wy
+    xf = jnp.clip(fx, 0.0, w - 1.0)
+    x0 = jnp.floor(xf).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wx = (xf - x0)[None, :, None]
+    out = jnp.take(rows, x0, axis=1) * (1.0 - wx) + jnp.take(rows, x1, axis=1) * wx
+    out = jnp.round(out)
+    mask = (valid_y[:, None] & valid_x[None, :])[..., None]
+    return jnp.where(mask, out, 0.0)
+
+
+def _nearest_sample_hw(arr, iy, ix, valid_y, valid_x, fill):
+    """Sample (H,W) int at per-axis integer coords; invalid -> ``fill``."""
+    h, w = arr.shape[:2]
+    y = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+    x = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+    out = jnp.take(jnp.take(arr, y, axis=0), x, axis=1)
+    mask = valid_y[:, None] & valid_x[None, :]
+    return jnp.where(mask, out, jnp.asarray(fill, arr.dtype))
 
 
 def random_horizontal_flip(rng, images, label_ids, prob: float):
@@ -39,30 +94,67 @@ def random_horizontal_flip(rng, images, label_ids, prob: float):
 
 
 def random_brightness(rng, images, lo: float, hi: float, prob: float):
-    """Per-sample brightness scale by U(lo, hi), clamped to [0, 255]
-    (host analog: augment.brightness_hsv; reference `:333-336,471-488`)."""
+    """Per-sample *exact HSV-V* brightness by U(lo, hi) (host analog:
+    augment.brightness_hsv; reference `:333-336,471-488`).
+
+    Scaling V in HSV with H,S fixed is mathematically a uniform RGB scale
+    — until V clamps at 255. There the host keeps hue/saturation and caps
+    only V; a naive ``clip(rgb*factor)`` instead drives clamped pixels
+    toward white. This implements the float-exact HSV semantics in three
+    VPU ops, no explicit color-space conversion needed:
+
+        V  = max(R,G,B)
+        V' = floor(min(V*factor, 255))     # floor: the host truncates via
+                                           # uint8 astype on the V channel
+        out = round(RGB * V'/V)
+
+    which preserves H and S exactly for every pixel, clamped or not. The
+    only residual vs the host is cv2's integer H (0..180) / S (0..255)
+    quantization, bounded by tests/test_device_augment.py to max<=8,
+    mean<=1 per channel.
+    """
     n = images.shape[0]
     k1, k2 = jax.random.split(rng)
     apply = jax.random.uniform(k1, (n,)) >= (1.0 - prob)
     factor = jax.random.uniform(k2, (n,), minval=lo, maxval=hi)
     factor = jnp.where(apply, factor, 1.0)
-    scaled = images.astype(jnp.float32) * factor[:, None, None, None]
-    return jnp.clip(scaled, 0.0, 255.0).astype(images.dtype)
+    rgb = images.astype(jnp.float32)
+    v = jnp.max(rgb, axis=-1, keepdims=True)
+    v_new = jnp.floor(jnp.minimum(v * factor[:, None, None, None], 255.0))
+    scale = jnp.where(v > 0, v_new / jnp.maximum(v, 1.0), 0.0)
+    return jnp.clip(jnp.round(rgb * scale), 0.0, 255.0).astype(images.dtype)
 
 
-def random_translate(rng, images, label_ids, max_x: int, max_y: int, prob: float,
+def random_translate(rng, images, label_ids, x_spec, y_spec, prob: float,
                      void_class_id: int = 0):
-    """Per-sample integer translation in [-max, +max], borders filled
-    black/void (host analog: augment.translate; reference `:344-356`).
+    """Per-sample integer translation, borders filled black/void (host
+    analog: augment.translate; reference `:344-356`).
+
+    ``x_spec``/``y_spec`` accept both forms:
+
+    * an int ``m`` — shift drawn uniformly from [-m, +m] (legacy device
+      form);
+    * a ``(lo, hi)`` tuple — host/reference semantics: magnitude drawn
+      uniformly from {lo..hi}, then a random sign, so |shift| >= lo.
 
     Implemented as pad-by-max + per-sample dynamic slice: static shapes, one
     gather per tensor.
     """
     n, h, w = images.shape[:3]
-    k1, k2, k3 = jax.random.split(rng, 3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+
+    def draw(key, spec, sign_key):
+        if isinstance(spec, (tuple, list)):
+            lo, hi = int(spec[0]), int(spec[1])
+            mag = jax.random.randint(key, (n,), lo, hi + 1)
+            sign = jnp.where(jax.random.uniform(sign_key, (n,)) < 0.5, 1, -1)
+            return mag * sign, hi
+        m = int(spec)
+        return jax.random.randint(key, (n,), -m, m + 1), m
+
     apply = jax.random.uniform(k1, (n,)) >= (1.0 - prob)
-    dx = jax.random.randint(k2, (n,), -max_x, max_x + 1)
-    dy = jax.random.randint(k3, (n,), -max_y, max_y + 1)
+    dx, max_x = draw(k2, x_spec, k4)
+    dy, max_y = draw(k3, y_spec, jax.random.fold_in(k4, 1))
     dx = jnp.where(apply, dx, 0)
     dy = jnp.where(apply, dy, 0)
 
@@ -108,28 +200,146 @@ def random_crop(rng, images, label_ids, crop_h: int, crop_w: int):
     return jax.vmap(crop_one)(images, label_ids, y0, x0)
 
 
+def random_scale(rng, images, label_ids, lo: float, hi: float, prob: float,
+                 void_class_id: int = 0):
+    """Per-sample zoom by U(lo, hi) (host analog: augment.scale_zoom;
+    reference `:358-384`): factor <= 1 shrinks the frame onto a centered
+    black/void canvas, factor > 1 center-crops the enlarged frame back to
+    the original size. Output shape equals input shape by construction.
+
+    Formulated as one inverse-coordinate-map gather instead of the host's
+    resize-then-paste: for output pixel o, the patch coordinate is
+    ``p = o -/+ floor(|size - patch|/2)`` (patch = floor(size*factor), the
+    host's ``int(img_h*factor)``), sampled bilinearly (images) / nearest
+    (GT) with out-of-patch pixels filled black/void. Static shapes under
+    jit for any traced per-sample factor.
+    """
+    n, h, w = images.shape[:3]
+    k1, k2 = jax.random.split(rng)
+    apply = jax.random.uniform(k1, (n,)) >= (1.0 - prob)
+    factor = jax.random.uniform(k2, (n,), minval=lo, maxval=hi)
+    factor = jnp.where(apply, factor, 1.0)
+
+    def axis(size, f):
+        patch = jnp.floor(size * f).astype(jnp.int32)  # host: int(size*factor)
+        off = jnp.abs(size - patch) // 2
+        o = jnp.arange(size, dtype=jnp.int32)
+        p = o - jnp.where(patch <= size, off, -off)  # patch coord of this px
+        valid = (p >= 0) & (p <= patch - 1)
+        # Nearest (GT): exact rational floor(p*size/patch) via int math —
+        # cv2 instead computes floor(p * double(1/(patch/size))), identical
+        # everywhere EXCEPT at exact-integer boundaries (p*size % patch == 0)
+        # where its one-ulp-low reciprocal can land one source pixel lower.
+        # The exact form is the documented behavior; the tie divergence is
+        # bounded by test (a few columns per image at rational factors,
+        # measure-zero for continuous U(lo,hi) draws).
+        isrc = (p * size) // jnp.maximum(patch, 1)
+        patch_f = patch.astype(jnp.float32)
+        return (_bilinear_axis_coords(p.astype(jnp.float32), size, patch_f),
+                isrc, valid)
+
+    def one(img, lbl, f):
+        fy, iy, vy = axis(h, f)
+        fx, ix, vx = axis(w, f)
+        img_o = _bilinear_sample_hw(img, fy, fx, vy, vx).astype(images.dtype)
+        lbl_o = None
+        if lbl is not None:
+            lbl_o = _nearest_sample_hw(lbl, iy, ix, vy, vx, void_class_id)
+        return img_o, lbl_o
+
+    if label_ids is None:
+        out_img = jax.vmap(lambda i, f: one(i, None, f)[0])(images, factor)
+        return out_img, None
+    return jax.vmap(one)(images, label_ids, factor)
+
+
+def _cv2_nearest_indices(dst: int, src: int):
+    """cv2 INTER_NEAREST source indices for a static resize, emulating its
+    double arithmetic exactly: ``min(floor(d * (1/(dst/src))), src-1)``.
+    Probed bit-exact against cv2.resize across up/down-scales incl. the
+    tie-point pairs (40->52, 56->72, 100->130) where the naive
+    floor(d*src/dst) differs."""
+    ifx = 1.0 / (dst / src)
+    return jnp.asarray(
+        np.minimum(np.floor(np.arange(dst) * ifx), src - 1).astype(np.int32))
+
+
+def resize(images, label_ids, size_hw):
+    """Batch resize to a static (h, w): bilinear for images, nearest for GT
+    (host analog: augment.resize_pair; reference `:328-331` — nearest on GT
+    is load-bearing for mIoU parity). The target is static, so the source
+    coordinates are precomputed on host in float64 with cv2's exact
+    arithmetic: GT output is bit-identical to the host pipeline; images
+    agree to +/-1 (cv2's fixed-point blend vs float32)."""
+    h_out, w_out = int(size_hw[0]), int(size_hw[1])
+    n, h, w = images.shape[:3]
+    # bilinear coords in double, like cv2's inv-scale computation
+    fy = jnp.asarray(((np.arange(h_out) + 0.5) * (h / h_out) - 0.5).astype(np.float32))
+    fx = jnp.asarray(((np.arange(w_out) + 0.5) * (w / w_out) - 0.5).astype(np.float32))
+    all_y = jnp.ones((h_out,), bool)
+    all_x = jnp.ones((w_out,), bool)
+    out_img = jax.vmap(
+        lambda im: _bilinear_sample_hw(im, fy, fx, all_y, all_x).astype(images.dtype)
+    )(images)
+    out_lbl = None
+    if label_ids is not None:
+        iy = _cv2_nearest_indices(h_out, h)
+        ix = _cv2_nearest_indices(w_out, w)
+        out_lbl = jax.vmap(
+            lambda lb: _nearest_sample_hw(lb, iy, ix, all_y, all_x, 0)
+        )(label_ids)
+    return out_img, out_lbl
+
+
+def grayscale(images):
+    """RGB -> single-channel grayscale, keeping a channel dim (host analog:
+    augment.grayscale; reference `:386-387`). Bit-exact with
+    ``cv2.COLOR_RGB2GRAY``: the same Q14 fixed-point weights
+    (R*4899 + G*9617 + B*1868 + 8192) >> 14."""
+    r = images[..., 0].astype(jnp.int32)
+    g = images[..., 1].astype(jnp.int32)
+    b = images[..., 2].astype(jnp.int32)
+    y = (r * 4899 + g * 9617 + b * 1868 + (1 << 13)) >> 14
+    return y.astype(images.dtype)[..., None]
+
+
+# module-level alias: make_augment_fn's `resize` parameter (named for API
+# parity with BatchGenerator.generate) shadows the function above
+_resize_batch = resize
+
+
 def make_augment_fn(
     *,
     flip: float | None = None,
     brightness: tuple | None = None,
     translate: tuple | None = None,
     crop: tuple | None = None,
+    resize: tuple | None = None,
+    scale: tuple | None = None,
+    gray: bool = False,
     void_class_id: int = 0,
 ):
     """Compose a jit-safe ``(rng, images, label_ids) -> (images, label_ids)``
-    pipeline in the reference's transform order (crop -> brightness -> flip ->
-    translate). Options mirror ``BatchGenerator.generate``:
+    pipeline in the reference's transform order (`batch_generator.py:268-387`:
+    crop -> resize -> brightness -> flip -> translate -> scale -> gray).
+    Options mirror ``BatchGenerator.generate``:
 
+    * ``crop``: (height, width) random crop (crop <= image);
+    * ``resize``: (height, width) static target;
+    * ``brightness``: (lo, hi, prob) — exact HSV-V scaling;
     * ``flip``: probability;
-    * ``brightness``: (lo, hi, prob);
-    * ``translate``: (max_x, max_y, prob);
-    * ``crop``: (height, width).
+    * ``translate``: (x_spec, y_spec, prob), each spec an int max or a
+      host-style (lo, hi) magnitude range;
+    * ``scale``: (lo, hi, prob) zoom with void fill / center crop;
+    * ``gray``: cv2-exact grayscale (output becomes single-channel — the
+      model must be built for 1 input channel, as with the host pipeline).
     """
-
     def augment(rng, images, label_ids):
-        keys = jax.random.split(rng, 4)
+        keys = jax.random.split(rng, 5)
         if crop is not None:
             images, label_ids = random_crop(keys[0], images, label_ids, crop[0], crop[1])
+        if resize is not None:
+            images, label_ids = _resize_batch(images, label_ids, resize)
         if brightness is not None:
             images = random_brightness(keys[1], images, *brightness)
         if flip is not None:
@@ -139,6 +349,12 @@ def make_augment_fn(
                 keys[3], images, label_ids, translate[0], translate[1], translate[2],
                 void_class_id,
             )
+        if scale is not None:
+            images, label_ids = random_scale(
+                keys[4], images, label_ids, scale[0], scale[1], scale[2], void_class_id
+            )
+        if gray:
+            images = grayscale(images)
         return images, label_ids
 
     return augment
