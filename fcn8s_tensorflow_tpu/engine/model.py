@@ -918,7 +918,7 @@ class FCN8s:
         self,
         results_dir,
         images_dir,
-        color_map,
+        color_map=None,
         resize=False,
         image_file_extension="png",
         include_unprocessed_image=False,
@@ -928,6 +928,8 @@ class FCN8s:
         on_device_overlay=True,
         tile=None,
         tile_overlap=128,
+        output_format="overlay",
+        id_map=None,
     ):
         """Segment every image in a directory, overlay, save to disk
         (reference `fcn8s_tensorflow.py:772-855`). ``color_map`` is a dict
@@ -952,7 +954,20 @@ class FCN8s:
         4.2 MB uint8 id maps — the tunnel's ~17–29 MB/s D2H, not the chip,
         decides which path wins there. On a direct-attached host (PCIe,
         GB/s) the on-device path wins outright; pass
-        ``on_device_overlay=False`` when D2H bandwidth is the bottleneck."""
+        ``on_device_overlay=False`` when D2H bandwidth is the bottleneck.
+
+        ``output_format='ids'`` writes raw class-ID PNGs instead of
+        overlays — the Cityscapes *benchmark submission* format
+        (`/root/reference/cityscapesscripts/evaluation/
+        evalPixelLevelSemanticLabeling.py:47-67`: one uint8 labelId PNG per
+        image, discovered by ``<city>_<seq>_<frame>*.png``). ``id_map`` is
+        an optional 1-D LUT applied to the predicted ids before saving —
+        pass ``labels.TRAINIDS_TO_IDS_ARRAY`` to convert a trainId-space
+        model's output to the benchmark's labelId space. ``color_map`` is
+        unused in this mode; the scorer loop is verified end-to-end
+        (train -> predict_and_save(ids) -> evaluation.pixel_eval CLI ->
+        streaming-confmat agreement) by
+        tests/test_offline_eval.py::test_closed_loop_scorer_consistency."""
         from concurrent.futures import ThreadPoolExecutor
 
         from ..viz.overlay import create_split_view, print_segmentation_onto_image
@@ -975,7 +990,17 @@ class FCN8s:
                     w, h = im.size
                 groups.setdefault((h, w), []).append(p)
 
-        ov = self._overlay_lut(color_map) if on_device_overlay else None
+        if output_format not in ("overlay", "ids"):
+            raise ValueError(f"output_format must be 'overlay' or 'ids', got {output_format!r}")
+        if output_format == "ids":
+            if include_unprocessed_image:
+                raise ValueError("include_unprocessed_image is incompatible with output_format='ids'")
+            ov = None
+        else:
+            if color_map is None:
+                raise ValueError("color_map is required for output_format='overlay'")
+            ov = self._overlay_lut(color_map) if on_device_overlay else None
+        id_lut = np.asarray(id_map) if id_map is not None else None
         tr = trange(len(image_paths), file=sys.stdout)
         tr.set_description("Processing images")
         writer = ThreadPoolExecutor(max_workers=4)
@@ -996,12 +1021,21 @@ class FCN8s:
                 out = overlaid
             Image.fromarray(out).save(os.path.join(results_dir, os.path.basename(path)))
 
+        def save_ids(path, ids):
+            if id_lut is not None:
+                ids = id_lut[ids]
+            Image.fromarray(np.ascontiguousarray(ids.astype(np.uint8))).save(
+                os.path.join(results_dir, os.path.basename(path)))
+
         def flush(pending):
             chunk_paths, dev_out, images_host, n = pending.popleft()
             out = np.asarray(dev_out)[:n]  # D2H sync point
             h, w = images_host.shape[1:3]
             out = out[:, :h, :w]
             for j, path in enumerate(chunk_paths):
+                if output_format == "ids":
+                    write_futures.append(writer.submit(save_ids, path, out[j]))
+                    continue
                 if ov is not None:
                     overlaid = out[j]
                 else:

@@ -86,6 +86,33 @@ def per_class_iou_from_confusion(conf_matrix):
     return iou, valid
 
 
+def benchmark_iou_from_confusion(conf_matrix, void_class: int = 0):
+    """Per-class IoU from a *trainId-space* confusion matrix under the
+    Cityscapes benchmark's FP rule (reference
+    `evalPixelLevelSemanticLabeling.py:229-255`): false positives exclude
+    pixels whose GROUND TRUTH is an ignored class. In the modified trainId
+    scheme every ignored id collapses onto ``void_class`` (labels/cityscapes.py:
+    ignoreInEval <=> trainId 0), so dropping that GT row reproduces the
+    benchmark rule exactly — this is the bridge that lets the streaming
+    training-time matrix be compared 1:1 against the offline scorer
+    (tests/test_offline_eval.py::test_closed_loop_scorer_consistency).
+
+    Returns (iou, valid): (C,) arrays; ``void_class`` itself and classes
+    absent from GT and prediction are invalid.
+    """
+    conf = conf_matrix.astype(jnp.float32)
+    c = conf.shape[0]
+    diag = jnp.diagonal(conf)
+    row = conf.sum(axis=1)                 # GT pixels per class
+    col_nonvoid = conf.sum(axis=0) - conf[void_class, :]  # preds on non-ignored GT
+    fn = row - diag
+    fp = col_nonvoid - diag
+    denom = diag + fp + fn
+    valid = (denom > 0) & (jnp.arange(c) != void_class)
+    iou = jnp.where(valid, diag / jnp.where(valid, denom, 1.0), 0.0)
+    return iou, valid
+
+
 def mean_iou_from_confusion(conf_matrix):
     """``tf.metrics.mean_iou`` semantics (`fcn8s_tensorflow.py:291-293`):
     per-class IoU averaged over classes whose denominator is > 0."""

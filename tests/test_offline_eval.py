@@ -192,3 +192,123 @@ def test_eval_pixel_accuracy_stats(synthetic_eval_dataset):
     # 2,500 px are erroneous; we store actual CORRECT pixels (the reference
     # stores the erroneous count under this key — documented divergence).
     assert stats["nbCorrectPixels"] == 100 * 100 - 2500
+
+
+# ---------------------------------------------------------------------------
+# closed-loop scorer consistency (VERDICT r2 #2): weld the three
+# independently-tested halves — trainer, serving (predict_and_save ids),
+# offline benchmark scorer — into one verified chain, and assert the
+# offline per-class IoU equals the streaming confusion-matrix IoU computed
+# on the same predictions.
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+def test_closed_loop_scorer_consistency(tmp_path, monkeypatch):
+    import jax.numpy as jnp
+
+    from fcn8s_tensorflow_tpu.engine.model import FCN8s
+    from fcn8s_tensorflow_tpu.engine.schedules import constant
+    from fcn8s_tensorflow_tpu.labels import (
+        IDS_TO_TRAINIDS_ARRAY,
+        NUM_TRAIN_CLASSES,
+        TRAINIDS_TO_IDS_ARRAY,
+    )
+    from fcn8s_tensorflow_tpu.ops import metrics as metrics_ops
+
+    rng = np.random.default_rng(0)
+    H, W = 64, 128
+    ds = tmp_path / "ds"
+    img_dir = ds / "leftImg8bit" / "val" / "synth"
+    gt_dir = ds / "gtFine" / "val" / "synth"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+
+    # GT in labelId space: road(7)/building(11)/car(26) stripes rotated per
+    # image, plus a void strip (unlabeled=0) to exercise the benchmark's
+    # FP-excludes-ignored-GT rule
+    CLASS_COLORS = {7: (128, 64, 128), 11: (70, 70, 70), 26: (0, 0, 142)}
+    images, gts = [], []
+    for n in range(4):
+        gt = np.zeros((H, W), np.uint8)
+        gt[:, :40] = 7
+        gt[:, 40:88] = 11
+        gt[:, 88:] = 26
+        gt = np.roll(gt, n * 16, axis=1)
+        gt[:4] = 0
+        img = np.zeros((H, W, 3), np.uint8)
+        for cid, col in CLASS_COLORS.items():
+            img[gt == cid] = col
+        img = np.clip(
+            img.astype(np.int16) + rng.integers(-10, 10, (H, W, 3)), 0, 255
+        ).astype(np.uint8)
+        name = f"synth_000000_{n:06d}"
+        Image.fromarray(img).save(img_dir / f"{name}_leftImg8bit.png")
+        Image.fromarray(gt).save(gt_dir / f"{name}_gtFine_labelIds.png")
+        Image.fromarray(gt.astype(np.uint16)).save(
+            gt_dir / f"{name}_gtFine_instanceIds.png")
+        images.append(img)
+        gts.append(gt)
+    images = np.stack(images)
+    train_ids = IDS_TO_TRAINIDS_ARRAY[np.stack(gts)].astype(np.uint8)
+
+    # short train in trainId space (color-coded classes learn quickly)
+    model = FCN8s(num_classes=NUM_TRAIN_CLASSES, width_mult=1 / 16,
+                  fc_channels=64, compute_dtype=jnp.float32)
+
+    def gen():
+        while True:
+            yield images, train_ids
+
+    model.train(gen(), epochs=1, steps_per_epoch=50,
+                learning_rate_schedule=constant(3e-3), keep_prob=1.0,
+                record_summaries=False)
+
+    # serving: benchmark-submission-format id maps (trainId -> labelId)
+    results_dir = tmp_path / "results"
+    model.predict_and_save(str(results_dir), str(img_dir),
+                           output_format="ids", id_map=TRAINIDS_TO_IDS_ARRAY,
+                           batch_size=2)
+    saved = sorted(os.listdir(results_dir))
+    assert len(saved) == 4 and all(p.endswith(".png") for p in saved)
+
+    # offline scorer: the reference CLI path — env-var config + discovery
+    monkeypatch.setenv("CITYSCAPES_DATASET", str(ds))
+    monkeypatch.setenv("CITYSCAPES_RESULTS", str(results_dir))
+    export = tmp_path / "export"
+    export.mkdir()
+    monkeypatch.setenv("CITYSCAPES_EXPORT_DIR", str(export))
+    offline = pixel_eval.main([])
+    assert os.path.isfile(export / "resultPixelLevelSemanticLabeling.json")
+
+    # streaming side: the training-time confusion matrix on the SAME
+    # predictions, bridged to the benchmark FP rule
+    preds = model.predict(images)  # trainId argmax, same executable family
+    conf = np.asarray(metrics_ops.confusion_matrix(
+        jnp.asarray(preds), jnp.asarray(train_ids), NUM_TRAIN_CLASSES
+    )).astype(np.int64)
+    iou, valid = metrics_ops.benchmark_iou_from_confusion(jnp.asarray(conf))
+    iou, valid = np.asarray(iou), np.asarray(valid)
+
+    # integer-exact: the offline id-space matrix collapsed to trainId space
+    # must equal the streaming trainId matrix cell for cell
+    offline_conf = np.asarray(offline["confMatrix"], dtype=np.int64)
+    collapsed = np.zeros_like(conf)
+    for gt_id in range(offline_conf.shape[0]):
+        for pr_id in range(offline_conf.shape[1]):
+            if offline_conf[gt_id, pr_id]:
+                collapsed[IDS_TO_TRAINIDS_ARRAY[gt_id],
+                          IDS_TO_TRAINIDS_ARRAY[pr_id]] += offline_conf[gt_id, pr_id]
+    np.testing.assert_array_equal(collapsed, conf)
+
+    checked = 0
+    for cid in (7, 11, 26):
+        label = id2label[cid]
+        offline_iou = offline["classScores"][label.name]
+        assert valid[label.trainId]
+        # counts are integer-exact (asserted above); the quotient differs
+        # only by the bridge's float32 division vs the scorer's float64
+        assert offline_iou == pytest.approx(float(iou[label.trainId]), abs=1e-6), label.name
+        checked += 1
+    assert checked == 3
+    # the model actually learned the mapping (random 20-class argmax would
+    # score ~0.05) — the chain is non-trivial; measured ~0.44 at 50 steps
+    assert np.nanmean([offline["classScores"][id2label[c].name] for c in (7, 11, 26)]) > 0.3
