@@ -11,7 +11,8 @@ import pytest
 pytestmark = pytest.mark.slow  # TF import + SavedModel IO
 
 
-def test_savedmodel_export_import_roundtrip(tmp_path, rng):
+@pytest.mark.parametrize("variant", ["fcn8s", "fcn16s", "fcn32s"])
+def test_savedmodel_export_import_roundtrip(tmp_path, rng, variant):
     import jax
     import jax.numpy as jnp
 
@@ -20,10 +21,10 @@ def test_savedmodel_export_import_roundtrip(tmp_path, rng):
 
     num_classes = 5
     params = init_fcn8s(jax.random.PRNGKey(3), num_classes, width_mult=1 / 16,
-                        fc_channels=64)
+                        fc_channels=64, variant=variant)
     out = export_tf_savedmodel(params, str(tmp_path / "sm"),
                                num_classes=num_classes, width_mult=1 / 16,
-                               fc_channels=64)
+                               fc_channels=64)  # variant inferred from tree
 
     import tensorflow as tf
 
@@ -69,7 +70,9 @@ def test_export_from_checkpoint_dir(tmp_path):
     assert os.path.isfile(os.path.join(out, "saved_model.pb"))
 
 
-def test_export_rejects_non_fcn8s_variants(tmp_path):
+def test_export_variant_from_checkpoint_manifest(tmp_path):
+    """Variant checkpoints export through the manifest config (the r2
+    NotImplementedError guard is lifted — VERDICT r2 #5)."""
     import jax
 
     from fcn8s_tensorflow_tpu.engine import checkpoint as ckpt
@@ -82,5 +85,7 @@ def test_export_rejects_non_fcn8s_variants(tmp_path):
     ckpt.save_checkpoint(cdir, params, {
         "model_config": {"num_classes": 4, "width_mult": 1 / 16,
                          "fc_channels": 64, "variant": "fcn16s"}})
-    with pytest.raises(NotImplementedError, match="fcn8s graph only"):
-        export_tf_savedmodel(cdir, str(tmp_path / "sm16"))
+    out = export_tf_savedmodel(cdir, str(tmp_path / "sm16"))
+    import os
+
+    assert os.path.isfile(os.path.join(out, "saved_model.pb"))

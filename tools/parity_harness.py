@@ -29,14 +29,23 @@ from fcn8s_tensorflow_tpu.models.vgg16 import VGG16_CONV_LAYERS, VGG_MEAN_RGB
 
 
 def build_tf_reference_model(num_classes, *, input_shape=(None, None, 3),
-                             width_mult=1.0, fc_channels=None):
+                             width_mult=1.0, fc_channels=None,
+                             variant="fcn8s"):
     """The reference graph in TF 2.x Keras, layer-for-layer
     (`fcn8s_tensorflow.py:154-237` + the Udacity VGG-16 encoder structure):
     13 conv3x3+ReLU / 5 SAME max-pools, fc6 7x7 conv + ReLU, fc7 1x1 conv +
     ReLU (dropout omitted: parity runs use keep_prob=1), decoder with
     pool3*1e-4 / pool4*1e-2 scaling, 1x1 score convs, 4/2 + 4/2 + 16/8
-    SAME transposed convs with skip adds. fp32 throughout."""
+    SAME transposed convs with skip adds. fp32 throughout.
+
+    ``variant`` extends the reference graph (which only exists for fcn8s)
+    to the framework's fcn16s / fcn32s family members with the same layer
+    naming as models/fcn8s.py's ``_DECODER_SPECS``: fcn16s = 4/2 deconv +
+    pool4 skip + 32/16 to full res; fcn32s = one 64/32 deconv."""
     import tensorflow as tf
+
+    if variant not in ("fcn8s", "fcn16s", "fcn32s"):
+        raise ValueError(f"unknown variant {variant!r}")
 
     def scale(ch):
         return max(8, int(ch * width_mult)) if width_mult != 1.0 else ch
@@ -57,14 +66,23 @@ def build_tf_reference_model(num_classes, *, input_shape=(None, None, 3),
     x = tf.keras.layers.Conv2D(fc_ch, 1, padding="same", activation="relu",
                                name="fc7")(x)
 
-    # decoder (reference `:154-237`)
-    p3 = tf.keras.layers.Conv2D(num_classes, 1, name="pool3_1x1")(
-        taps["conv3_3"] * 1e-4)
+    # decoder (reference `:154-237`; fcn16s/fcn32s are the same scheme with
+    # the tail deconv jumping straight to full resolution)
+    f7 = tf.keras.layers.Conv2D(num_classes, 1, name="fc7_1x1")(x)
+    if variant == "fcn32s":
+        out = tf.keras.layers.Conv2DTranspose(num_classes, 64, 32, padding="same",
+                                              name="fc7_deconv")(f7)
+        return tf.keras.Model(inp, out)
     p4 = tf.keras.layers.Conv2D(num_classes, 1, name="pool4_1x1")(
         taps["conv4_3"] * 1e-2)
-    f7 = tf.keras.layers.Conv2D(num_classes, 1, name="fc7_1x1")(x)
     u1 = tf.keras.layers.Conv2DTranspose(num_classes, 4, 2, padding="same",
                                          name="fc7_deconv")(f7) + p4
+    if variant == "fcn16s":
+        out = tf.keras.layers.Conv2DTranspose(num_classes, 32, 16, padding="same",
+                                              name="fc7_pool4_deconv")(u1)
+        return tf.keras.Model(inp, out)
+    p3 = tf.keras.layers.Conv2D(num_classes, 1, name="pool3_1x1")(
+        taps["conv3_3"] * 1e-4)
     u2 = tf.keras.layers.Conv2DTranspose(num_classes, 4, 2, padding="same",
                                          name="fc7_pool4_deconv")(u1) + p3
     out = tf.keras.layers.Conv2DTranspose(num_classes, 16, 8, padding="same",

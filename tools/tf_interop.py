@@ -56,38 +56,40 @@ def _load_params(checkpoint_dir: str):
 
     meta = ckpt.load_metadata(checkpoint_dir)
     cfg = meta["model_config"]
-    variant = cfg.get("variant", "fcn8s")
-    if variant != "fcn8s":
-        # build_tf_reference_model reconstructs the REFERENCE graph, which
-        # only exists for fcn8s (`fcn8s_tensorflow.py:154-237`)
-        raise NotImplementedError(
-            f"TF SavedModel export supports the reference's fcn8s graph only; "
-            f"checkpoint is variant={variant!r}"
-        )
     example = init_fcn8s(
         jax.random.PRNGKey(0), cfg["num_classes"],
         width_mult=cfg.get("width_mult", 1.0),
         fc_channels=cfg.get("fc_channels"),
+        variant=cfg.get("variant", "fcn8s"),
     )
     return ckpt.load_params_only(checkpoint_dir, example), cfg
 
 
 def export_tf_savedmodel(source, out_dir: str, *, num_classes=None,
-                         width_mult=1.0, fc_channels=None) -> str:
+                         width_mult=1.0, fc_channels=None,
+                         variant=None) -> str:
     """Write a TF SavedModel. ``source``: a checkpoint directory (config is
-    read from its manifest) or a params pytree (then pass the config kwargs).
+    read from its manifest) or a params pytree (then pass the config kwargs;
+    ``variant`` defaults to inferring from the decoder key set). All three
+    FCN family members export (`fcn8s_tensorflow.py:154-237` generalized —
+    the reference graph itself only exists for fcn8s).
     Returns ``out_dir``."""
     import tensorflow as tf
+
+    from fcn8s_tensorflow_tpu.models.fcn8s import decoder_variant
 
     if isinstance(source, str):
         params, cfg = _load_params(source)
         num_classes = cfg["num_classes"]
         width_mult = cfg.get("width_mult", 1.0)
         fc_channels = cfg.get("fc_channels")
+        variant = cfg.get("variant", "fcn8s")
     else:
         params = source
         if num_classes is None:
             raise ValueError("num_classes required when passing a params tree")
+    if variant is None:
+        variant = decoder_variant(params["decoder"])
 
     # gather once: per-leaf np.asarray on a remote accelerator costs a
     # round-trip each (slow on tunneled devices)
@@ -96,7 +98,8 @@ def export_tf_savedmodel(source, out_dir: str, *, num_classes=None,
     params = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), params)
 
     tf_model = build_tf_reference_model(
-        num_classes, width_mult=width_mult, fc_channels=fc_channels
+        num_classes, width_mult=width_mult, fc_channels=fc_channels,
+        variant=variant,
     )
     copy_params_to_tf(params, tf_model)
 
