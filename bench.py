@@ -95,6 +95,63 @@ def main():
     infer_imgs_per_sec = one.shape[0] / p50
     log(f"infer: p50 {p50 * 1e3:.1f} ms -> {infer_imgs_per_sec:.1f} img/s")
 
+    # ---- batch-1 latency decomposition (VERDICT r2 #4) ----
+    # The p50 above = dispatch + compute + D2H of the full argmax map (the
+    # input is already device-resident; H2D is NOT in p50 and is reported
+    # separately). Decompose so the attribution is checkable:
+    #   rt     : dispatch + scalar-fetch round-trip floor
+    #   d2h    : full-payload fetch of an (identity-copied) resident output
+    #   compute: sync on a 1-element jit-slice of a fresh prediction
+    #   h2d    : device_put of the uint8 input, synced the same way
+    # All are medians within this process (the tunnel is time-shared;
+    # cross-process numbers vary, CLAUDE.md).
+    def _median_time(fn, iters=ITERS):
+        ts = []
+        for _ in range(iters):
+            t = time.time()
+            fn()
+            ts.append(time.time() - t)
+        return float(np.median(ts))
+
+    # NB: a jax.Array caches its fetched host value, so every probe must
+    # produce a FRESH device array (x + 0 under jit) or the repeat reads 0 ms
+    tiny = jax.device_put(np.zeros((), np.float32))
+    fresh = jax.jit(lambda x: x + 0)
+    np.asarray(fresh(tiny))  # compile
+    rt_ms = _median_time(lambda: np.asarray(fresh(tiny))) * 1e3
+
+    resident_out = pred_fn(state.params, one)
+    payload_bytes = int(np.asarray(resident_out).nbytes)
+    fresh_out = jax.jit(lambda x: x + 0)
+    np.asarray(fresh_out(resident_out))  # compile
+    d2h_ms = _median_time(lambda: np.asarray(fresh_out(resident_out))) * 1e3 - rt_ms
+
+    first_px = jax.jit(lambda x: x.reshape(-1)[:1] + 0)
+    np.asarray(first_px(resident_out))  # compile
+    compute_ms = _median_time(
+        lambda: np.asarray(first_px(pred_fn(state.params, one)))) * 1e3 - rt_ms
+
+    host_img = np.asarray(one)
+    h2d_ms = _median_time(
+        lambda: np.asarray(first_px(jax.device_put(host_img)))) * 1e3 - rt_ms
+    d2h_bandwidth = payload_bytes / 1e6 / max(d2h_ms / 1e3, 1e-9)
+    batch1_breakdown = {
+        "total_p50_ms": round(p50 * 1e3, 1),
+        "roundtrip_floor_ms": round(rt_ms, 1),
+        "compute_ms": round(compute_ms, 1),
+        "d2h_full_payload_ms": round(d2h_ms, 1),
+        "h2d_input_ms": round(h2d_ms, 1),
+        "payload_bytes": payload_bytes,
+        "d2h_bandwidth_MB_per_s": round(d2h_bandwidth, 1),
+        # sanity: the measured pieces should account for the whole p50
+        # (compute sync overlaps the D2H start, so a small shortfall is
+        # expected; a large one would mean an unattributed cost)
+        "accounted_ms": round(compute_ms + d2h_ms, 1),
+    }
+    log(f"batch-1 breakdown: rt {rt_ms:.1f} ms, compute {compute_ms:.1f} ms, "
+        f"D2H {d2h_ms:.1f} ms ({payload_bytes / 1e6:.2f} MB @ "
+        f"{d2h_bandwidth:.1f} MB/s), H2D (not in p50) {h2d_ms:.1f} ms")
+
     # ---- batched pipelined inference (the serving path) ----
     # Double-buffered dispatch: batch i+1 is in flight while batch i's
     # (compact uint8) argmax map D2Hs — engine.predict_and_save's pipeline.
@@ -186,6 +243,7 @@ def main():
             "train_ms_per_step": round(train_dt * 1e3, 1),
             "infer_images_per_sec_per_chip": round(infer_imgs_per_sec / n_chips, 2),
             "infer_p50_latency_ms_batch1": round(p50 * 1e3, 1),
+            "infer_batch1_breakdown": batch1_breakdown,
             "infer_batched_images_per_sec_per_chip": round(
                 batched_imgs_per_sec / n_chips, 2
             ),

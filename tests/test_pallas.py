@@ -79,3 +79,49 @@ def test_ce_bf16_logits(rng):
     np.testing.assert_allclose(float(got), float(want), rtol=5e-3)
     g = jax.grad(lambda l: softmax_cross_entropy_pallas(l, labels, chunk=64, interpret=True))(logits)
     assert g.dtype == jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# pallas max-pool pair (ops/pallas_pool.py)
+# ---------------------------------------------------------------------------
+def test_pallas_pool_forward_matches_xla(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from fcn8s_tensorflow_tpu.ops.nn import max_pool_2x2
+    from fcn8s_tensorflow_tpu.ops.pallas_pool import max_pool_2x2_pallas
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 8, 64)).astype(np.float32))
+    ref = max_pool_2x2(x)
+    out = max_pool_2x2_pallas(x, True)  # interpret mode on CPU
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pallas_pool_gradient_bit_exact_with_ties(rng):
+    """Backward must reproduce select-and-scatter's first-max tie routing
+    bit-exactly — exercised with heavy ties (quantized values)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcn8s_tensorflow_tpu.ops.nn import max_pool_2x2
+    from fcn8s_tensorflow_tpu.ops.pallas_pool import max_pool_2x2_pallas
+
+    # quantize to force many intra-window ties
+    x = jnp.asarray(
+        np.round(rng.standard_normal((1, 16, 8, 64)) * 2).astype(np.float32))
+    dy = jnp.asarray(rng.standard_normal((1, 8, 4, 64)).astype(np.float32))
+
+    ref_dx = jax.vjp(max_pool_2x2, x)[1](dy)[0]
+    pal_dx = jax.vjp(lambda t: max_pool_2x2_pallas(t, True), x)[1](dy)[0]
+    np.testing.assert_array_equal(np.asarray(pal_dx), np.asarray(ref_dx))
+
+
+def test_pallas_pool_shape_validation(rng):
+    import jax.numpy as jnp
+
+    from fcn8s_tensorflow_tpu.ops.pallas_pool import max_pool_2x2_pallas
+
+    with pytest.raises(ValueError, match="H%16"):
+        max_pool_2x2_pallas(jnp.zeros((1, 8, 8, 64)), True)
+    with pytest.raises(ValueError, match="C==64"):
+        max_pool_2x2_pallas(jnp.zeros((1, 16, 8, 32)), True)
