@@ -97,8 +97,11 @@ def main():
     key = jax.random.key(1, impl="rbg")
 
     def step_time(tag):
-        step = compile_train_step(mesh, optimizer, 20, example_state=state)
-        s = state
+        # fresh state per run: the compiled step DONATES its carried state,
+        # so a shared one is deleted after the first run's first call
+        params = jax.jit(lambda k: init_fcn8s(k, 20))(jax.random.PRNGKey(0))
+        s = create_train_state(params, optimizer)
+        step = compile_train_step(mesh, optimizer, 20, example_state=s)
         for _ in range(WARMUP):
             s, loss = step(s, im, lb, mk, key, 1e-4, 0.0, 0.5)
         float(loss)
