@@ -15,14 +15,18 @@ on the *packed* 2-D view (N*H, W*C) where lanes are full:
 * backward routes dy to the coded position without re-reading x (the XLA
   select-and-scatter re-reads the 537 MB input).
 
-The catch, and why this is an A/B experiment rather than the default: the
-producer (conv1_2) writes XLA's padded layout, so feeding the kernel's
-packed view forces a relayout copy of the full tensor on the way in (and
-the consumer conv2_1 relayouts the output back). Measured A/B numbers
-(standalone pair and full-train-step swap) live in
-benchmarks/pallas_pool_bench.py's output and TODO.md — the expectation
-going in is that the boundary relayouts eat the packed-lane win, making
-this a recorded negative result unless the whole conv1 block is fused.
+The catch, and why this is a recorded NEGATIVE RESULT rather than the
+default: the producer (conv1_2) writes XLA's padded layout, so feeding the
+kernel's packed view forces a relayout copy of the full tensor on the way
+in (and the consumer conv2_1 relayouts the output back). MEASURED (v5e,
+benchmarks/pallas_pool_bench.py, in-process steady-state, 2026-08-17):
+standalone fwd+bwd pair on resident compact inputs 15.66 ms (Pallas) vs
+16.63 ms (XLA) — a real but small win when no relayout is needed (both
+numbers include undonated-output copies); full train step with pool1
+swapped: **109.8 -> 117.3 ms (+7.5 ms)** — the boundary relayouts cost
+more than the kernel saves. This closes TODO.md's "Pallas pool1 fwd+bwd
+pair" lead (fourth and final formulation measured); the op is kept for
+callers that already hold packed-layout data.
 """
 
 from __future__ import annotations
