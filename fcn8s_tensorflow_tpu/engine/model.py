@@ -1024,7 +1024,11 @@ class FCN8s:
         def save_ids(path, ids):
             if id_lut is not None:
                 ids = id_lut[ids]
-            Image.fromarray(np.ascontiguousarray(ids.astype(np.uint8))).save(
+            # Cityscapes labelIds fit uint8; id spaces beyond 255 round-trip
+            # through a 16-bit grayscale PNG instead of truncating
+            max_id = int(id_lut.max()) if id_lut is not None else self.num_classes - 1
+            dtype = np.uint8 if max_id <= 255 else np.uint16
+            Image.fromarray(np.ascontiguousarray(ids.astype(dtype))).save(
                 os.path.join(results_dir, os.path.basename(path)))
 
         def flush(pending):
