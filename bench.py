@@ -80,7 +80,11 @@ def main():
     log(f"train: {train_dt * 1e3:.1f} ms/step -> {train_imgs_per_sec:.1f} img/s")
 
     # ---- inference throughput + p50 latency (batch 1) ----
-    pred_fn = compile_predict_step(mesh, argmax=True, example_params=state.params)
+    # uint8 ids D2H — the facade predict() path (ids travel compact, int32
+    # on host): at the tunnel's ~44 MB/s D2H this is 4x less payload than
+    # int32 (0.5 vs 2.1 MB), measured -36 ms off batch-1 p50
+    pred_fn = compile_predict_step(mesh, argmax=True, example_params=state.params,
+                                   id_dtype=jnp.uint8)
     one = shard_batch(mesh, rng.integers(0, 255, (max(1, n_chips), H, W, 3), np.uint8))
     for _ in range(WARMUP):
         out = pred_fn(state.params, one)
@@ -114,7 +118,7 @@ def main():
         return float(np.median(ts))
 
     # NB: a jax.Array caches its fetched host value, so every probe must
-    # produce a FRESH device array (x + 0 under jit) or the repeat reads 0 ms
+    # produce a FRESH device array (x + 0 under jit) or the repeat reads 0 ms.
     tiny = jax.device_put(np.zeros((), np.float32))
     fresh = jax.jit(lambda x: x + 0)
     np.asarray(fresh(tiny))  # compile
