@@ -101,14 +101,13 @@ def main():
 
     # ---- batch-1 latency decomposition (VERDICT r2 #4) ----
     # The p50 above = dispatch + compute + D2H of the full argmax map (the
-    # input is already device-resident; H2D is NOT in p50 and is reported
-    # separately). Decompose so the attribution is checkable:
-    #   rt     : dispatch + scalar-fetch round-trip floor
-    #   d2h    : full-payload fetch of an (identity-copied) resident output
-    #   compute: sync on a 1-element jit-slice of a fresh prediction
-    #   h2d    : device_put of the uint8 input, synced the same way
-    # All are medians within this process (the tunnel is time-shared;
-    # cross-process numbers vary, CLAUDE.md).
+    # input is device-resident; H2D is NOT in p50, reported separately).
+    # Probes publish RAW wall medians; derived estimates subtract the
+    # scalar-sync floor. On this tunneled transport the per-RPC cost also
+    # scales with program/payload, so the estimates sum BELOW total_p50 —
+    # the residual is reported as unattributed_transport_ms rather than
+    # hidden. The checkable claims: compute <= compute_sync_ms (small), and
+    # D2H payload scales with bytes at the measured bandwidth.
     def _median_time(fn, iters=ITERS):
         ts = []
         for _ in range(iters):
@@ -128,33 +127,39 @@ def main():
     payload_bytes = int(np.asarray(resident_out).nbytes)
     fresh_out = jax.jit(lambda x: x + 0)
     np.asarray(fresh_out(resident_out))  # compile
-    d2h_ms = _median_time(lambda: np.asarray(fresh_out(resident_out))) * 1e3 - rt_ms
+    d2h_raw_ms = _median_time(lambda: np.asarray(fresh_out(resident_out))) * 1e3
 
     first_px = jax.jit(lambda x: x.reshape(-1)[:1] + 0)
     np.asarray(first_px(resident_out))  # compile
-    compute_ms = _median_time(
-        lambda: np.asarray(first_px(pred_fn(state.params, one)))) * 1e3 - rt_ms
+    compute_raw_ms = _median_time(
+        lambda: np.asarray(first_px(pred_fn(state.params, one)))) * 1e3
 
     host_img = np.asarray(one)
-    h2d_ms = _median_time(
-        lambda: np.asarray(first_px(jax.device_put(host_img)))) * 1e3 - rt_ms
-    d2h_bandwidth = payload_bytes / 1e6 / max(d2h_ms / 1e3, 1e-9)
+    h2d_raw_ms = _median_time(
+        lambda: np.asarray(first_px(jax.device_put(host_img)))) * 1e3
+
+    compute_est = max(compute_raw_ms - rt_ms, 0.0)
+    d2h_est = max(d2h_raw_ms - rt_ms, 0.0)
+    d2h_bandwidth = payload_bytes / 1e6 / max(d2h_est / 1e3, 1e-9)
+    total_ms = p50 * 1e3
     batch1_breakdown = {
-        "total_p50_ms": round(p50 * 1e3, 1),
-        "roundtrip_floor_ms": round(rt_ms, 1),
-        "compute_ms": round(compute_ms, 1),
-        "d2h_full_payload_ms": round(d2h_ms, 1),
-        "h2d_input_ms": round(h2d_ms, 1),
+        "total_p50_ms": round(total_ms, 1),
+        "scalar_sync_floor_ms": round(rt_ms, 1),
+        "compute_sync_ms": round(compute_raw_ms, 1),
+        "resident_output_d2h_ms": round(d2h_raw_ms, 1),
+        "h2d_input_sync_ms_not_in_p50": round(h2d_raw_ms, 1),
+        "compute_ms_est": round(compute_est, 1),
+        "d2h_payload_ms_est": round(d2h_est, 1),
         "payload_bytes": payload_bytes,
         "d2h_bandwidth_MB_per_s": round(d2h_bandwidth, 1),
-        # sanity: the measured pieces should account for the whole p50
-        # (compute sync overlaps the D2H start, so a small shortfall is
-        # expected; a large one would mean an unattributed cost)
-        "accounted_ms": round(compute_ms + d2h_ms, 1),
+        "unattributed_transport_ms": round(
+            max(total_ms - rt_ms - compute_est - d2h_est, 0.0), 1),
     }
-    log(f"batch-1 breakdown: rt {rt_ms:.1f} ms, compute {compute_ms:.1f} ms, "
-        f"D2H {d2h_ms:.1f} ms ({payload_bytes / 1e6:.2f} MB @ "
-        f"{d2h_bandwidth:.1f} MB/s), H2D (not in p50) {h2d_ms:.1f} ms")
+    log(f"batch-1 breakdown: sync floor {rt_ms:.1f} ms, compute est "
+        f"{compute_est:.1f} ms, D2H est {d2h_est:.1f} ms "
+        f"({payload_bytes / 1e6:.2f} MB @ {d2h_bandwidth:.1f} MB/s), "
+        f"H2D (not in p50) {h2d_raw_ms:.1f} ms, unattributed transport "
+        f"{batch1_breakdown['unattributed_transport_ms']:.1f} ms")
 
     # ---- batched pipelined inference (the serving path) ----
     # Double-buffered dispatch: batch i+1 is in flight while batch i's

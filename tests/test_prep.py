@@ -1,5 +1,6 @@
 """Annotation model + polygon rasterization tests (SURVEY.md §4)."""
 
+import io
 import json
 import os
 
@@ -163,3 +164,120 @@ def test_batch_driver(tmp_path):
     n = create_train_id_instance_imgs(str(tmp_path), quiet=True)
     assert n == 2
     assert os.path.isfile(root / "testcity_000000_000019_gtFine_instanceTrainIds.png")
+
+
+# ---------------------------------------------------------------------------
+# browser label tool (prep/label_tool.py) — the annotate -> save -> rasterize
+# chain over HTTP, closing the reference's cityscapesLabelTool capability
+# ---------------------------------------------------------------------------
+@pytest.fixture
+def label_tool_server(tmp_path):
+    import threading
+    import urllib.request
+
+    from fcn8s_tensorflow_tpu.prep.label_tool import AnnotationTool, make_server
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    arr = np.full((60, 80, 3), 40, np.uint8)
+    Image.fromarray(arr).save(img_dir / "city_000000_000000_leftImg8bit.png")
+    Image.fromarray(arr).save(img_dir / "city_000000_000001_leftImg8bit.png")
+
+    tool = AnnotationTool(str(img_dir), annotation_dir=str(tmp_path / "ann"), user="tester")
+    srv = make_server(tool, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}", tool, tmp_path
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get_json(url):
+    import json as _json
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return _json.loads(r.read())
+
+
+def test_label_tool_roundtrip_and_rasterize(label_tool_server):
+    import json as _json
+    import urllib.request
+
+    from fcn8s_tensorflow_tpu.labels.cityscapes import name2label
+    from fcn8s_tensorflow_tpu.prep.annotation import Annotation
+    from fcn8s_tensorflow_tpu.prep.rasterize import create_label_image
+
+    base, tool, tmp_path = label_tool_server
+
+    images = _get_json(base + "/api/images")
+    assert [i["annotated"] for i in images] == [False, False]
+    labels = _get_json(base + "/api/labels")
+    assert any(l["name"] == "car" for l in labels)
+    blank = _get_json(base + "/api/annotation/0")
+    assert blank == {"imgWidth": 80, "imgHeight": 60, "objects": []}
+
+    # editor page and image bytes serve
+    with urllib.request.urlopen(base + "/", timeout=30) as r:
+        assert b"label tool" in r.read()
+    with urllib.request.urlopen(base + "/api/image/0", timeout=30) as r:
+        assert r.read()[:4] == b"\x89PNG"
+
+    # save two polygons (one with the group-suffix fallback label)
+    payload = {"imgWidth": 80, "imgHeight": 60, "objects": [
+        {"label": "road", "polygon": [[0, 30], [79, 30], [79, 59], [0, 59]]},
+        {"label": "cargroup", "polygon": [[10, 5], [30, 5], [30, 20], [10, 20]]},
+    ]}
+    req = urllib.request.Request(base + "/api/annotation/0",
+                                 data=_json.dumps(payload).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        saved = _json.loads(r.read())
+    assert saved["saved"] == "city_000000_000000_polygons.json"
+
+    # the file on disk is schema-exact Cityscapes JSON...
+    ann = Annotation()
+    ann.from_json_file(str(tmp_path / "ann" / saved["saved"]))
+    assert ann.imgWidth == 80 and len(ann.objects) == 2
+    assert ann.objects[0].user == "tester" and ann.objects[0].date
+
+    # ...and rasterizes through the real GT path to the right trainIds
+    raster = np.asarray(create_label_image(ann, "trainIds"))
+    assert raster[45, 40] == name2label["road"].trainId
+    assert raster[10, 20] == name2label["car"].trainId  # group fallback
+    assert raster[0, 79] == name2label["unlabeled"].trainId
+
+    # round-trip back through the editor payload
+    edited = _get_json(base + "/api/annotation/0")
+    assert [o["label"] for o in edited["objects"]] == ["road", "cargroup"]
+    assert _get_json(base + "/api/images")[0]["annotated"] is True
+
+    # preview endpoint rasterizes and composites
+    with urllib.request.urlopen(base + "/api/preview/0", timeout=30) as r:
+        png = r.read()
+    overlay = np.asarray(Image.open(io.BytesIO(png)))
+    assert overlay.shape == (60, 80, 3)
+    # road region tinted toward the road color (purple-ish), background not
+    assert abs(int(overlay[45, 40, 0]) - int(overlay[5, 70, 0])) > 20
+
+
+def test_label_tool_rejects_bad_payloads(label_tool_server):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    base, tool, _ = label_tool_server
+
+    def post(payload):
+        req = urllib.request.Request(base + "/api/annotation/1",
+                                     data=_json.dumps(payload).encode(), method="POST")
+        return urllib.request.urlopen(req, timeout=30)
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post({"objects": [{"label": "not-a-label", "polygon": [[0, 0], [1, 0], [1, 1]]}]})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post({"objects": [{"label": "car", "polygon": [[0, 0], [1, 0]]}]})  # < 3 vertices
+    assert e.value.code == 400
+    # nothing persisted
+    assert not tool.list_images()[1]["annotated"]
