@@ -1,0 +1,5 @@
+"""Data pipeline: discovery/pairing, augmentation, prefetch, KITTI."""
+
+from .generator import BatchGenerator, DataError
+
+__all__ = ["BatchGenerator", "DataError"]
