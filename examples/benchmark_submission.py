@@ -60,11 +60,23 @@ def main():
             overwrite_existing=(city == cities[0]),
         )
 
+    from glob import glob
+
     os.environ["CITYSCAPES_DATASET"] = args.dataset
     os.environ["CITYSCAPES_RESULTS"] = args.results
     os.makedirs(os.path.join(args.results, "_report"), exist_ok=True)
     os.environ["CITYSCAPES_EXPORT_DIR"] = os.path.join(args.results, "_report")
-    results = pixel_eval.main([])
+    eval_args = pixel_eval.default_args()
+    # default_args hardcodes the val split's GT glob; honor --split
+    eval_args.ground_truth_search = os.path.join(
+        args.dataset, "gtFine", args.split, "*", "*_gtFine_labelIds.png")
+    ground_truth_list = glob(eval_args.ground_truth_search)
+    if not ground_truth_list:
+        raise SystemExit(f"no GT found: {eval_args.ground_truth_search}")
+    prediction_list = [pixel_eval.get_prediction(eval_args, g)
+                       for g in ground_truth_list]
+    results = pixel_eval.evaluate_img_lists(prediction_list, ground_truth_list,
+                                            eval_args)
     print(f"\nmIoU (classes): {results['averageScoreClasses']:.4f}")
     print(f"report JSON: {os.environ['CITYSCAPES_EXPORT_DIR']}")
     model.close()

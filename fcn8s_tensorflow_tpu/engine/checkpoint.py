@@ -161,10 +161,13 @@ def save_checkpoint_async(directory: str, state, metadata: dict, *,
             # one (atomic), then delete the old. At every instant either the
             # old or the new complete checkpoint exists under a name
             # `latest_checkpoint` can see — rmtree-before-rename had a
-            # window destroying both (ADVICE r2).
-            if os.path.isdir(old):
-                shutil.rmtree(old)
+            # window destroying both (ADVICE r2). A stale `.old` left by a
+            # prior crash is only removed while `directory` itself exists
+            # (or after the promote) so the sole survivor is never deleted
+            # before its replacement is in place.
             if os.path.isdir(directory):
+                if os.path.isdir(old):
+                    shutil.rmtree(old)  # stale; `directory` still visible
                 os.rename(directory, old)
             os.rename(tmp, directory)
             shutil.rmtree(old, ignore_errors=True)
@@ -295,7 +298,17 @@ def latest_checkpoint(parent: str) -> str | None:
         if not d.endswith(".tmp")
         and os.path.isfile(os.path.join(parent, d, "checkpoint.msgpack"))
     ]
-    return max(candidates, key=os.path.getmtime) if candidates else None
+
+    def _mtime(p):
+        # a transient `.old` can be rmtree'd by the writer thread between
+        # the listdir above and this stat — treat vanished entries as oldest
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return float("-inf")
+
+    candidates = [c for c in candidates if _mtime(c) != float("-inf")]
+    return max(candidates, key=_mtime) if candidates else None
 
 
 if __name__ == "__main__":

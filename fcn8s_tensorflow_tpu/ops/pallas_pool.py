@@ -93,13 +93,38 @@ def _check(shape):
         raise ValueError(f"pallas pool needs C==64 or C%128==0, got C={c}")
 
 
-def _fwd_impl(x, *, interpret: bool = False):
+def _fwd_only_kernel(x_ref, y_ref, *, c: int):
+    x = x_ref[:].astype(jnp.float32)
+    m = jnp.maximum(
+        jnp.maximum(x[:, 0, :, :c], x[:, 0, :, c:]),
+        jnp.maximum(x[:, 1, :, :c], x[:, 1, :, c:]),
+    )
+    y_ref[:] = m.astype(y_ref.dtype)
+
+
+def _fwd_impl(x, *, with_idx: bool = True, interpret: bool = False):
     n, h, w, c = x.shape
     _check(x.shape)
     rows2 = n * h // 2   # output rows
     w2 = w // 2
     x4 = x.reshape(rows2, 2, w2, 2 * c)
     th = 8
+    out_block = pl.BlockSpec((th, w2, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((th, 2, w2, 2 * c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if not with_idx:
+        # primal-only path: skip computing/writing the argmax tensor — a
+        # pallas_call output cannot be DCE'd by XLA, so an inference-only
+        # caller would otherwise pay a full output-sized HBM write
+        y = pl.pallas_call(
+            partial(_fwd_only_kernel, c=c),
+            out_shape=jax.ShapeDtypeStruct((rows2, w2, c), x.dtype),
+            grid=(rows2 // th,),
+            in_specs=in_specs,
+            out_specs=out_block,
+            interpret=interpret,
+        )(x4)
+        return y.reshape(n, h // 2, w // 2, c), None
     y, idx = pl.pallas_call(
         partial(_fwd_kernel, c=c),
         out_shape=(
@@ -107,12 +132,8 @@ def _fwd_impl(x, *, interpret: bool = False):
             jax.ShapeDtypeStruct((rows2, w2, c), x.dtype),
         ),
         grid=(rows2 // th,),
-        in_specs=[pl.BlockSpec((th, 2, w2, 2 * c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((th, w2, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, w2, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
+        in_specs=in_specs,
+        out_specs=(out_block, out_block),
         interpret=interpret,
     )(x4)
     return y.reshape(n, h // 2, w // 2, c), idx
@@ -144,7 +165,7 @@ def max_pool_2x2_pallas(x, interpret: bool = False):
     """2x2/s2 VALID max pool (even H,W) with a saved-argmax Pallas backward.
     Gradient is bit-identical to ``lax.reduce_window``'s select-and-scatter
     including ties (tests/test_pallas.py)."""
-    y, _ = _fwd_impl(x, interpret=interpret)
+    y, _ = _fwd_impl(x, with_idx=False, interpret=interpret)
     return y
 
 

@@ -62,11 +62,18 @@ class AnnotationTool:
             raise ValueError(f"no .{image_file_extension} images in {image_dir}")
 
     def annotation_path(self, index: int) -> str:
+        """Cityscapes-compatible name: ``<city>_<seq>_<frame>_gtFine_polygons.json``
+        — the exact pattern ``prep/create_gt_imgs.py`` discovers
+        (``*_gt*_polygons.json``), so point ``annotation_dir`` at
+        ``<root>/gtFine/<split>/<city>/`` and the batch rasterizers pick the
+        tool's output up directly."""
         stem = os.path.splitext(os.path.basename(self.image_paths[index]))[0]
         # Cityscapes pairing: strip the image-type suffix if present
         for t in ("_leftImg8bit",):
             if stem.endswith(t):
                 stem = stem[: -len(t)]
+        if not stem.endswith(("_gtFine", "_gtCoarse")):
+            stem += "_gtFine"
         return os.path.join(self.annotation_dir, stem + _POLY_SUFFIX)
 
     def list_images(self) -> list[dict]:
@@ -182,6 +189,7 @@ async function init(){
   sel.value="car"; load(0);
 }
 async function load(i){
+  if(dirty&&!confirm("Discard unsaved changes?"))return;
   idx=(i+IMAGES.length)%IMAGES.length; ann=await j(`/api/annotation/${idx}`);
   current=[]; selected=-1; dirty=false;
   img=new Image(); img.onload=()=>{cv.width=img.width; cv.height=img.height; draw();};

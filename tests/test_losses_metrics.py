@@ -173,3 +173,37 @@ def test_extra_schedules():
     assert abs(e(5) - 0.5 ** 0.5) < 1e-9
     es = exponential_decay(1.0, 10, 0.5, staircase=True)
     assert abs(es(9) - 1.0) < 1e-9 and abs(es(10) - 0.5) < 1e-9
+
+
+def test_benchmark_iou_from_confusion_hand_computed():
+    """Hand-computed fixture for the benchmark FP rule (FP excludes pixels
+    whose GT is the void/ignored class) — reference
+    `evalPixelLevelSemanticLabeling.py:229-255` bridged to trainId space."""
+    import jax.numpy as jnp
+
+    import pytest
+
+    from fcn8s_tensorflow_tpu.ops.metrics import (
+        benchmark_iou_from_confusion,
+        per_class_iou_from_confusion,
+    )
+
+    # rows = GT, cols = prediction; class 0 = void
+    #            pred:  0   1   2
+    conf = jnp.asarray([[5, 10,  0],    # GT void: 10 px predicted class 1
+                        [0, 30, 10],    # GT 1: tp=30, fn=10
+                        [2,  5, 20]])   # GT 2: tp=20, fn=5(+2 pred-void fn)
+    iou, valid = benchmark_iou_from_confusion(conf)
+    iou, valid = [float(x) for x in iou], [bool(x) for x in valid]
+
+    assert not valid[0]  # void never scored
+    # class 1: tp=30, fn=40-30=10, fp = pred-1 px with NON-VOID GT != 1 = 5
+    # (the 10 void-GT px are excluded by the benchmark rule)
+    assert iou[1] == pytest.approx(30 / (30 + 10 + 5))
+    # class 2: tp=20, fn=27-20=7, fp = conf[1,2] = 10
+    assert iou[2] == pytest.approx(20 / (20 + 7 + 10))
+    assert valid[1] and valid[2]
+
+    # contrast: the plain (training-time) IoU counts the void-GT FPs
+    plain, _ = per_class_iou_from_confusion(conf)
+    assert float(plain[1]) == pytest.approx(30 / (30 + 10 + 15))

@@ -233,7 +233,9 @@ def test_label_tool_roundtrip_and_rasterize(label_tool_server):
                                  data=_json.dumps(payload).encode(), method="POST")
     with urllib.request.urlopen(req, timeout=30) as r:
         saved = _json.loads(r.read())
-    assert saved["saved"] == "city_000000_000000_polygons.json"
+    # Cityscapes-compatible name: discoverable by create_gt_imgs's
+    # `*_gt*_polygons.json` glob when annotation_dir sits in the gtFine tree
+    assert saved["saved"] == "city_000000_000000_gtFine_polygons.json"
 
     # the file on disk is schema-exact Cityscapes JSON...
     ann = Annotation()
