@@ -99,146 +99,145 @@ def main():
     infer_imgs_per_sec = one.shape[0] / p50
     log(f"infer: p50 {p50 * 1e3:.1f} ms -> {infer_imgs_per_sec:.1f} img/s")
 
-    # ---- batch-1 latency decomposition (VERDICT r2 #4) ----
-    # The p50 above = dispatch + compute + D2H of the full argmax map (the
-    # input is device-resident; H2D is NOT in p50, reported separately).
-    # Probes publish RAW wall medians; derived estimates subtract the
-    # scalar-sync floor. On this tunneled transport the per-RPC cost also
-    # scales with program/payload, so the estimates sum BELOW total_p50 —
-    # the residual is reported as unattributed_transport_ms rather than
-    # hidden. The checkable claims: compute <= compute_sync_ms (small), and
-    # D2H payload scales with bytes at the measured bandwidth.
-    def _median_time(fn, iters=ITERS):
-        ts = []
-        for _ in range(iters):
-            t = time.time()
-            fn()
-            ts.append(time.time() - t)
-        return float(np.median(ts))
+    # batch-1 decomposition is an extra too: guard it so probe
+    # failures on a degraded tunnel can't block the JSON line
+    try:
+        # ---- batch-1 latency decomposition (VERDICT r2 #4) ----
+        # The p50 above = dispatch + compute + D2H of the full argmax map (the
+        # input is device-resident; H2D is NOT in p50, reported separately).
+        # Probes publish RAW wall medians; derived estimates subtract the
+        # scalar-sync floor. On this tunneled transport the per-RPC cost also
+        # scales with program/payload, so the estimates sum BELOW total_p50 —
+        # the residual is reported as unattributed_transport_ms rather than
+        # hidden. The checkable claims: compute <= compute_sync_ms (small), and
+        # D2H payload scales with bytes at the measured bandwidth.
+        def _median_time(fn, iters=ITERS):
+            ts = []
+            for _ in range(iters):
+                t = time.time()
+                fn()
+                ts.append(time.time() - t)
+            return float(np.median(ts))
 
-    # NB: a jax.Array caches its fetched host value, so every probe must
-    # produce a FRESH device array (x + 0 under jit) or the repeat reads 0 ms.
-    tiny = jax.device_put(np.zeros((), np.float32))
-    fresh = jax.jit(lambda x: x + 0)
-    np.asarray(fresh(tiny))  # compile
-    rt_ms = _median_time(lambda: np.asarray(fresh(tiny))) * 1e3
+        # NB: a jax.Array caches its fetched host value, so every probe must
+        # produce a FRESH device array (x + 0 under jit) or the repeat reads 0 ms.
+        tiny = jax.device_put(np.zeros((), np.float32))
+        fresh = jax.jit(lambda x: x + 0)
+        np.asarray(fresh(tiny))  # compile
+        rt_ms = _median_time(lambda: np.asarray(fresh(tiny))) * 1e3
 
-    resident_out = pred_fn(state.params, one)
-    payload_bytes = int(np.asarray(resident_out).nbytes)
-    fresh_out = jax.jit(lambda x: x + 0)
-    np.asarray(fresh_out(resident_out))  # compile
-    d2h_raw_ms = _median_time(lambda: np.asarray(fresh_out(resident_out))) * 1e3
+        resident_out = pred_fn(state.params, one)
+        payload_bytes = int(np.asarray(resident_out).nbytes)
+        fresh_out = jax.jit(lambda x: x + 0)
+        np.asarray(fresh_out(resident_out))  # compile
+        d2h_raw_ms = _median_time(lambda: np.asarray(fresh_out(resident_out))) * 1e3
 
-    first_px = jax.jit(lambda x: x.reshape(-1)[:1] + 0)
-    np.asarray(first_px(resident_out))  # compile
-    compute_raw_ms = _median_time(
-        lambda: np.asarray(first_px(pred_fn(state.params, one)))) * 1e3
+        first_px = jax.jit(lambda x: x.reshape(-1)[:1] + 0)
+        np.asarray(first_px(resident_out))  # compile
+        compute_raw_ms = _median_time(
+            lambda: np.asarray(first_px(pred_fn(state.params, one)))) * 1e3
 
-    host_img = np.asarray(one)
-    h2d_raw_ms = _median_time(
-        lambda: np.asarray(first_px(jax.device_put(host_img)))) * 1e3
+        host_img = np.asarray(one)
+        h2d_raw_ms = _median_time(
+            lambda: np.asarray(first_px(jax.device_put(host_img)))) * 1e3
 
-    compute_est = max(compute_raw_ms - rt_ms, 0.0)
-    d2h_est = max(d2h_raw_ms - rt_ms, 0.0)
-    d2h_bandwidth = payload_bytes / 1e6 / max(d2h_est / 1e3, 1e-9)
-    total_ms = p50 * 1e3
-    batch1_breakdown = {
-        "total_p50_ms": round(total_ms, 1),
-        "scalar_sync_floor_ms": round(rt_ms, 1),
-        "compute_sync_ms": round(compute_raw_ms, 1),
-        "resident_output_d2h_ms": round(d2h_raw_ms, 1),
-        "h2d_input_sync_ms_not_in_p50": round(h2d_raw_ms, 1),
-        "compute_ms_est": round(compute_est, 1),
-        "d2h_payload_ms_est": round(d2h_est, 1),
-        "payload_bytes": payload_bytes,
-        "d2h_bandwidth_MB_per_s": round(d2h_bandwidth, 1),
-        "unattributed_transport_ms": round(
-            max(total_ms - rt_ms - compute_est - d2h_est, 0.0), 1),
-    }
-    log(f"batch-1 breakdown: sync floor {rt_ms:.1f} ms, compute est "
-        f"{compute_est:.1f} ms, D2H est {d2h_est:.1f} ms "
-        f"({payload_bytes / 1e6:.2f} MB @ {d2h_bandwidth:.1f} MB/s), "
-        f"H2D (not in p50) {h2d_raw_ms:.1f} ms, unattributed transport "
-        f"{batch1_breakdown['unattributed_transport_ms']:.1f} ms")
+        compute_est = max(compute_raw_ms - rt_ms, 0.0)
+        d2h_est = max(d2h_raw_ms - rt_ms, 0.0)
+        d2h_bandwidth = payload_bytes / 1e6 / max(d2h_est / 1e3, 1e-9)
+        total_ms = p50 * 1e3
+        batch1_breakdown = {
+            "total_p50_ms": round(total_ms, 1),
+            "scalar_sync_floor_ms": round(rt_ms, 1),
+            "compute_sync_ms": round(compute_raw_ms, 1),
+            "resident_output_d2h_ms": round(d2h_raw_ms, 1),
+            "h2d_input_sync_ms_not_in_p50": round(h2d_raw_ms, 1),
+            "compute_ms_est": round(compute_est, 1),
+            "d2h_payload_ms_est": round(d2h_est, 1),
+            "payload_bytes": payload_bytes,
+            "d2h_bandwidth_MB_per_s": round(d2h_bandwidth, 1),
+            "unattributed_transport_ms": round(
+                max(total_ms - rt_ms - compute_est - d2h_est, 0.0), 1),
+        }
+        log(f"batch-1 breakdown: sync floor {rt_ms:.1f} ms, compute est "
+            f"{compute_est:.1f} ms, D2H est {d2h_est:.1f} ms "
+            f"({payload_bytes / 1e6:.2f} MB @ {d2h_bandwidth:.1f} MB/s), "
+            f"H2D (not in p50) {h2d_raw_ms:.1f} ms, unattributed transport "
+            f"{batch1_breakdown['unattributed_transport_ms']:.1f} ms")
+    except Exception as exc:  # noqa: BLE001
+        log(f"SKIPPED batch-1 breakdown: {type(exc).__name__}: {exc}")
+        batch1_breakdown = None
 
     # ---- batched pipelined inference (the serving path) ----
     # Double-buffered dispatch: batch i+1 is in flight while batch i's
     # (compact uint8) argmax map D2Hs — engine.predict_and_save's pipeline.
+    # Every section below is an EXTRA: each is individually guarded so a
+    # degraded tunnel (compiles have been observed taking 10+ min under
+    # load) can never prevent the mandatory one-line JSON from printing.
     from collections import deque
 
     INFER_BATCH = 8 * max(1, n_chips)
-    pred8 = compile_predict_step(
-        mesh, argmax=True, example_params=state.params, id_dtype=jnp.uint8
-    )
     b8 = shard_batch(mesh, rng.integers(0, 255, (INFER_BATCH, H, W, 3), np.uint8))
-    for _ in range(WARMUP):
-        np.asarray(pred8(state.params, b8))
-    t0 = time.time()
-    pending = deque()
-    for _ in range(ITERS):
-        pending.append(pred8(state.params, b8))
-        if len(pending) >= 2:
+
+    def pipelined(fn, params_, tag):
+        for _ in range(WARMUP):
+            np.asarray(fn(params_, b8))
+        t0 = time.time()
+        pending = deque()
+        for _ in range(ITERS):
+            pending.append(fn(params_, b8))
+            if len(pending) >= 2:
+                np.asarray(pending.popleft())
+        while pending:
             np.asarray(pending.popleft())
-    while pending:
-        np.asarray(pending.popleft())
-    batched_dt = (time.time() - t0) / ITERS
-    batched_imgs_per_sec = INFER_BATCH / batched_dt
-    log(f"infer batched: {batched_dt * 1e3:.1f} ms/batch{INFER_BATCH} "
-        f"-> {batched_imgs_per_sec:.1f} img/s")
+        dt = (time.time() - t0) / ITERS
+        log(f"infer {tag}: {dt * 1e3:.1f} ms/batch{INFER_BATCH} "
+            f"-> {INFER_BATCH / dt:.1f} img/s")
+        return INFER_BATCH / dt
 
-    # ---- batched pipelined inference, int8-quantized encoder ----
-    # calibrated-static activation scales: measured 30.0 vs 35.6 ms/batch8
-    # compute vs dynamic quantization (ops/quantize.py)
-    from fcn8s_tensorflow_tpu.ops.quantize import (
-        collect_activation_absmax,
-        quantize_fcn8s_params,
-    )
+    def guarded(section, fn):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — extras must not kill the JSON
+            log(f"SKIPPED {section}: {type(exc).__name__}: {exc}")
+            return None
 
-    absmax = jax.jit(collect_activation_absmax)(state.params, b8)
-    qparams = jax.jit(quantize_fcn8s_params)(state.params, absmax)
-    pred_q = compile_predict_step(
-        mesh, argmax=True, example_params=qparams, id_dtype=jnp.uint8,
-        quantized=True,
-    )
-    for _ in range(WARMUP):
-        np.asarray(pred_q(qparams, b8))
-    t0 = time.time()
-    pending = deque()
-    for _ in range(ITERS):
-        pending.append(pred_q(qparams, b8))
-        if len(pending) >= 2:
-            np.asarray(pending.popleft())
-    while pending:
-        np.asarray(pending.popleft())
-    quant_dt = (time.time() - t0) / ITERS
-    quant_imgs_per_sec = INFER_BATCH / quant_dt
-    log(f"infer int8: {quant_dt * 1e3:.1f} ms/batch{INFER_BATCH} "
-        f"-> {quant_imgs_per_sec:.1f} img/s")
+    def _batched():
+        pred8 = compile_predict_step(
+            mesh, argmax=True, example_params=state.params, id_dtype=jnp.uint8)
+        return pipelined(pred8, state.params, "batched")
 
-    # ---- batched inference with the on-device overlay head ----
-    from fcn8s_tensorflow_tpu.labels import TRAINIDS_TO_RGBA_DICT
+    def _int8():
+        # calibrated-static activation scales: measured 30.0 vs 35.6 ms/batch8
+        # compute vs dynamic quantization (ops/quantize.py)
+        from fcn8s_tensorflow_tpu.ops.quantize import (
+            collect_activation_absmax,
+            quantize_fcn8s_params,
+        )
 
-    lut = np.zeros((NUM_CLASSES, 4), np.float32)
-    for cid, rgba in TRAINIDS_TO_RGBA_DICT.items():
-        if 0 <= cid < NUM_CLASSES:
-            lut[cid] = rgba
-    pred_ov = compile_predict_step(
-        mesh, argmax=True, example_params=state.params, overlay_lut=lut
-    )
-    for _ in range(WARMUP):
-        np.asarray(pred_ov(state.params, b8))
-    t0 = time.time()
-    pending = deque()
-    for _ in range(ITERS):
-        pending.append(pred_ov(state.params, b8))
-        if len(pending) >= 2:
-            np.asarray(pending.popleft())
-    while pending:
-        np.asarray(pending.popleft())
-    overlay_dt = (time.time() - t0) / ITERS
-    overlay_imgs_per_sec = INFER_BATCH / overlay_dt
-    log(f"infer overlay: {overlay_dt * 1e3:.1f} ms/batch{INFER_BATCH} "
-        f"-> {overlay_imgs_per_sec:.1f} img/s")
+        absmax = jax.jit(collect_activation_absmax)(state.params, b8)
+        qparams = jax.jit(quantize_fcn8s_params)(state.params, absmax)
+        pred_q = compile_predict_step(
+            mesh, argmax=True, example_params=qparams, id_dtype=jnp.uint8,
+            quantized=True)
+        return pipelined(pred_q, qparams, "int8")
+
+    def _overlay():
+        from fcn8s_tensorflow_tpu.labels import TRAINIDS_TO_RGBA_DICT
+
+        lut = np.zeros((NUM_CLASSES, 4), np.float32)
+        for cid, rgba in TRAINIDS_TO_RGBA_DICT.items():
+            if 0 <= cid < NUM_CLASSES:
+                lut[cid] = rgba
+        pred_ov = compile_predict_step(
+            mesh, argmax=True, example_params=state.params, overlay_lut=lut)
+        return pipelined(pred_ov, state.params, "overlay")
+
+    batched_imgs_per_sec = guarded("batched", _batched)
+    quant_imgs_per_sec = guarded("int8", _int8)
+    overlay_imgs_per_sec = guarded("overlay", _overlay)
+
+    def _per_chip(v):
+        return round(v / n_chips, 2) if v is not None else None
 
     result = {
         "metric": "fcn8s_train_images_per_sec_per_chip_1024x512",
@@ -253,16 +252,10 @@ def main():
             "infer_images_per_sec_per_chip": round(infer_imgs_per_sec / n_chips, 2),
             "infer_p50_latency_ms_batch1": round(p50 * 1e3, 1),
             "infer_batch1_breakdown": batch1_breakdown,
-            "infer_batched_images_per_sec_per_chip": round(
-                batched_imgs_per_sec / n_chips, 2
-            ),
+            "infer_batched_images_per_sec_per_chip": _per_chip(batched_imgs_per_sec),
             "infer_batched_batch": INFER_BATCH,
-            "infer_overlay_images_per_sec_per_chip": round(
-                overlay_imgs_per_sec / n_chips, 2
-            ),
-            "infer_int8_images_per_sec_per_chip": round(
-                quant_imgs_per_sec / n_chips, 2
-            ),
+            "infer_overlay_images_per_sec_per_chip": _per_chip(overlay_imgs_per_sec),
+            "infer_int8_images_per_sec_per_chip": _per_chip(quant_imgs_per_sec),
             "infer_vs_baseline": round(
                 infer_imgs_per_sec / n_chips / BASELINE_TF_CPU_INFER_IMGS_PER_SEC, 1
             ),
