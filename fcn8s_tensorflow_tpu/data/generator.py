@@ -107,23 +107,20 @@ class BatchGenerator:
                     gt_path = os.path.join(gt_dir_path, gt_name)
                     if check_existence and not os.path.isfile(gt_path):
                         raise DataError(
-                            f"The dataset contains an image file '{image_path}' for which the "
-                            f"corresponding ground truth image file does not exist at '{gt_path}'."
+                            f"Missing ground truth: expected '{gt_path}' to pair with "
+                            f"image '{image_path}', but no such file exists."
                         )
                     self.ground_truth_paths[image_name] = gt_path
 
         self.dataset_size = len(self.image_paths)
         if self.dataset_size == 0:
             raise DataError(
-                f"No images with the given file extension '{ext}' were found in the given "
-                "image directories."
+                f"Found zero '*.{ext}' files under the configured image directories."
             )
         if ground_truth_dirs is not None and len(self.ground_truth_paths) != self.dataset_size:
             raise DataError(
-                "Ground truth directories were given, but the number of ground truth images "
-                f"found does not match the number of images. Number of images: "
-                f"{self.dataset_size}. Number of ground truth images: "
-                f"{len(self.ground_truth_paths)}"
+                f"Image/ground-truth count mismatch: {self.dataset_size} images but "
+                f"{len(self.ground_truth_paths)} ground truth maps were paired."
             )
         if self.ground_truth_paths:
             self.ground_truth = True

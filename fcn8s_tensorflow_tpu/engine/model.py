@@ -191,6 +191,7 @@ class FCN8s:
         self._train_steps = {}
         self._eval_steps = {}
         self._predict_steps = {}
+        self._tta_steps = {}
         self._summary_logger = None
 
     # ------------------------------------------------------------------
@@ -316,6 +317,9 @@ class FCN8s:
         # dynamic-mode structure must be dropped, not just the cached params
         self._predict_steps = {
             k: v for k, v in self._predict_steps.items() if not k[-1]
+        }
+        self._tta_steps = {
+            k: v for k, v in self._tta_steps.items() if not k[-1]
         }
         return absmax
 
@@ -833,6 +837,66 @@ class FCN8s:
         if argmax and ov is None and out.dtype == np.uint8:
             out = out.astype(np.int32)  # ids travel D2H compact; API stays int32
         return out
+
+    def _get_tta_step(self, batch_shape, scale_hw, flip, quantized):
+        key = (batch_shape, scale_hw, flip, quantized)
+        if key not in self._tta_steps:
+            from ..parallel.steps import compile_tta_step
+
+            self._tta_steps[key] = compile_tta_step(
+                self.mesh,
+                scale_hw=scale_hw,
+                flip=flip,
+                tensor_parallel=self.tensor_parallel,
+                compute_dtype=self.compute_dtype,
+                example_params=self._quantized_params() if quantized
+                else self.state.params,
+                quantized=quantized,
+            )
+        return self._tta_steps[key]
+
+    def predict_tta(self, images, scales=(1.0,), flip=True, argmax=True,
+                    quantized=False):
+        """Test-time-augmentation prediction: average class probabilities
+        over the horizontal mirror and/or rescaled views — the standard
+        FCN-era mIoU booster. Beyond the reference (its `predict`,
+        `fcn8s_tensorflow.py:743-770`, sees a single view).
+
+        ``scales``: iterable of resize factors. Each runs as its own
+        compiled executable (static shapes; dims snap to the stride-32
+        grid) whose view rescale + forward + probability resize-back all
+        stay on device. ``flip=True`` folds the mirrored view into the
+        same executable as a doubled batch (one full-tilt MXU dispatch,
+        not two half-utilized ones — see ``parallel.steps.tta_step``).
+
+        With ``scales=(1.0,)`` and ``flip=False`` this degenerates to
+        ``predict(argmax=...)`` semantics (probabilities travel fp32 here).
+
+        Returns (N,H,W) int32 argmax ids, or (N,H,W,C) float32 mean
+        probabilities when ``argmax=False``."""
+        if not scales:
+            raise ValueError("predict_tta: scales must be non-empty")
+        padded, (n, h, w) = self._prepare_images(images)
+        call_params = (
+            self._quantized_params() if quantized else self.state.params
+        )
+        im_d = self._put_batch(padded)
+        ph, pw = padded.shape[1:3]
+        acc = None
+        for s in scales:
+            sh = max(32, int(round(ph * float(s) / 32)) * 32)
+            sw = max(32, int(round(pw * float(s) / 32)) * 32)
+            scale_hw = None if (sh, sw) == (ph, pw) else (sh, sw)
+            fn = self._get_tta_step(padded.shape, scale_hw, bool(flip),
+                                    quantized)
+            p = fn(call_params, im_d)
+            acc = p if acc is None else acc + p
+        probs = acc if len(scales) == 1 else acc / np.float32(len(scales))
+        if argmax:
+            return np.asarray(jnp.argmax(probs, axis=-1))[:n, :h, :w].astype(
+                np.int32
+            )
+        return np.asarray(probs)[:n, :h, :w]
 
     @staticmethod
     def _tile_grid(size: int, t: int, overlap: int):

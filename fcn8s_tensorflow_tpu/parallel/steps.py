@@ -490,3 +490,72 @@ def compile_predict_step(mesh, *, argmax: bool = True, tensor_parallel: bool = T
         in_shardings=(p_shard, data) if p_shard is not None else None,
         out_shardings=data,
     )
+
+
+def tta_step(params, images, *, scale_hw=None, flip: bool = True,
+             compute_dtype=jnp.bfloat16, quantized: bool = False):
+    """Test-time-augmentation probability head for ONE scale (a capability
+    beyond the reference — `fcn8s_tensorflow.py:743-770` predicts a single
+    view only). Averaging class probabilities over mirrored/rescaled views
+    is the standard FCN-era mIoU booster; this runs it TPU-first:
+
+    - the horizontal mirror is CONCATENATED into the batch dim, so one
+      doubled-batch forward keeps the MXU at full tilt instead of running
+      two half-utilized dispatches (and under a mesh the 2N batch still
+      shards evenly over 'data' — N is already a data-axis multiple);
+    - the rescale (``scale_hw``, static) and the probability resize back to
+      native resolution are `jax.image.resize` inside the SAME executable,
+      so scaled views never round-trip to host;
+    - bilinear resize is linear, so resized softmax outputs remain valid
+      distributions (each output pixel is a convex combination) — no
+      renormalization pass is needed.
+
+    Returns (N, H, W, C) float32 mean probabilities at the input resolution.
+    """
+    n, h, w = images.shape[:3]
+    x = images.astype(jnp.float32)
+    if scale_hw is not None and tuple(scale_hw) != (h, w):
+        sh, sw = scale_hw
+        x = jax.image.resize(x, (n, sh, sw, x.shape[-1]), method="bilinear")
+    if flip:
+        x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+    apply_kwargs = dict(compute_dtype=compute_dtype, logits_dtype=compute_dtype,
+                        packed_final=False)
+    if quantized:
+        from ..ops.quantize import apply_fcn8s_int8
+
+        logits = apply_fcn8s_int8(params, x, **apply_kwargs)
+    else:
+        logits = apply_fcn8s(params, x, deterministic=True, **apply_kwargs)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if flip:
+        fwd, mir = jnp.split(probs, 2, axis=0)
+        probs = (fwd + mir[:, :, ::-1, :]) * 0.5
+    if probs.shape[1:3] != (h, w):
+        probs = jax.image.resize(
+            probs, (n, h, w, probs.shape[-1]), method="bilinear"
+        )
+    return probs
+
+
+def compile_tta_step(mesh, *, scale_hw=None, flip: bool = True,
+                     tensor_parallel: bool = True, compute_dtype=jnp.bfloat16,
+                     example_params=None, quantized: bool = False):
+    """jit ``tta_step`` with mesh shardings (mirrors ``compile_predict_step``:
+    batch over 'data', params per the TP rules; the int8 tree replicates)."""
+    from .mesh import batch_sharding, param_sharding_tree
+
+    data = batch_sharding(mesh)
+    p_shard = (
+        param_sharding_tree(mesh, example_params,
+                            tensor_parallel=tensor_parallel and not quantized)
+        if example_params is not None
+        else None
+    )
+    fn = partial(tta_step, scale_hw=scale_hw, flip=flip,
+                 compute_dtype=compute_dtype, quantized=quantized)
+    return jax.jit(
+        fn,
+        in_shardings=(p_shard, data) if p_shard is not None else None,
+        out_shardings=data,
+    )
