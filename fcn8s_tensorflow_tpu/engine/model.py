@@ -193,6 +193,8 @@ class FCN8s:
         self._predict_steps = {}
         self._tta_steps = {}
         self._summary_logger = None
+        self._ema_params = None
+        self._ema_fn = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -328,6 +330,61 @@ class FCN8s:
         (executables are param-free and stay cached)."""
         self._qparams = None
 
+    # ------------------------------------------------------------------
+    def _update_ema(self, decay: float):
+        """One EMA step: ``ema = d*ema + (1-d)*params``, as a single jitted
+        pytree pass with the EMA buffer DONATED (in-place on device, no
+        extra resident copy). Seeds ``ema = params`` on the first call."""
+        if self._ema_params is None:
+            self._ema_params = jax.tree.map(jnp.copy, self.state.params)
+            return
+        if self._ema_fn is None:
+            def ema_step(ema, params, d):
+                return jax.tree.map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                    ema, params,
+                )
+
+            self._ema_fn = jax.jit(ema_step, donate_argnums=0)
+        self._ema_params = self._ema_fn(
+            self._ema_params, self.state.params, np.float32(decay)
+        )
+
+    @property
+    def ema_params(self):
+        """The EMA param pytree (see ``train(ema_decay=...)``)."""
+        if self._ema_params is None:
+            raise ValueError(
+                "No EMA params: train with ema_decay=<float> first."
+            )
+        return self._ema_params
+
+    def adopt_ema(self):
+        """Replace the live params with the EMA params (keeps optimizer
+        state — Adam moments now describe the pre-adoption trajectory,
+        which is the standard finalize-for-serving move, not a resume
+        point). Marks checkpoints dirty so a following ``save()`` persists
+        the averaged weights; invalidates the int8 cache."""
+        self.state = self.state._replace(params=self.ema_params)
+        self._ema_params = None  # donated buffer now aliases live params
+        self.variables_updated = True
+        self._invalidate_quantized()
+
+    def _resolve_ema(self, use_ema: bool, quantized: bool):
+        """Map a ``use_ema`` flag to a params-override tree (or None for the
+        live params). EMA excludes ``quantized``: the int8 scales are
+        calibrated against the live params, so silently quantizing a
+        different tree would serve miscalibrated activations."""
+        if not use_ema:
+            return None
+        if quantized:
+            raise ValueError(
+                "use_ema and quantized are mutually exclusive: int8 "
+                "activation scales are calibrated for the live params. "
+                "adopt_ema() first, then recalibrate and quantize."
+            )
+        return self.ema_params
+
     def _overlay_lut(self, color_map):
         """(cache_key, lut) for a class_id -> RGBA dict (negative ids — the
         reference color maps carry a -1 licence-plate entry — are dropped;
@@ -415,6 +472,7 @@ class FCN8s:
         prefetch=2,
         gradient_accumulation=1,
         spatial_partition=False,
+        ema_decay=None,
     ):
         """Train the model. Argument semantics follow the reference
         (`fcn8s_tensorflow.py:399-523`): the generator yields (images,
@@ -452,6 +510,16 @@ class FCN8s:
         exchanges in forward and backward (parallel/steps.py). For
         mega-resolution training where one chip's activation HBM binds;
         requires a mesh with a >1 'model' axis, excludes tensor_parallel.
+
+        ``ema_decay`` (TPU-native extra, beyond the reference): maintain an
+        exponential moving average of the fp32 master params —
+        ``ema = d*ema + (1-d)*params`` after every optimizer step, seeded
+        with a copy of the params at the first step. The update is one
+        jitted donated pytree pass (device-resident, ~1.6 GB HBM traffic
+        for the 134M-param model, no host round-trip) and persists across
+        ``train`` calls. Evaluate/serve the averaged weights via
+        ``use_ema=True`` on predict/predict_tta/evaluate, or make them
+        permanent with ``adopt_ema()`` (then ``save()`` persists them).
         """
         # --- validation (reference `:511-529`) ---
         metrics = set(metrics)  # the reference's default `{}` is a dict literal
@@ -467,6 +535,8 @@ class FCN8s:
             raise ValueError("save_during_training requires save_dir")
         if monitor != "loss" and monitor not in metrics:
             raise ValueError(f"monitor '{monitor}' requires it to be in metrics {metrics}")
+        if ema_decay is not None and not (0.0 < float(ema_decay) < 1.0):
+            raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
 
         if gradient_accumulation != getattr(self, "_grad_accum", 1):
             self._train_steps.clear()  # accumulation is baked into the executable
@@ -521,6 +591,8 @@ class FCN8s:
                 g_step += 1
                 self.variables_updated = True
                 self._qparams = None  # int8 cache now stale
+                if ema_decay is not None:
+                    self._update_ema(ema_decay)
                 loss_history.append(loss)  # device scalar — no sync
 
                 # Hard-sync the loss only on the summaries/display cadence
@@ -683,7 +755,7 @@ class FCN8s:
 
     # ------------------------------------------------------------------
     def _evaluate(self, data_generator, metrics, num_batches, description="Running evaluation",
-                  device_stream=False, spatial_partition=False):
+                  device_stream=False, spatial_partition=False, params=None):
         """Shared evaluation core (reference `_evaluate`,
         `fcn8s_tensorflow.py:660-697`): reset accumulators, forward-only
         update per batch with keep_prob=1, finalize, print.
@@ -713,7 +785,10 @@ class FCN8s:
                 else:
                     im_d, lb_d, mask_d = self._put_batch(images, label_ids, mask)
             eval_fn = self._get_eval_step(im_d.shape, spatial_partition)
-            metrics_state = eval_fn(self.state.params, metrics_state, im_d, lb_d, mask_d)
+            metrics_state = eval_fn(
+                self.state.params if params is None else params,
+                metrics_state, im_d, lb_d, mask_d,
+            )
 
         final = finalize_metrics(metrics_state)
         values = {k: float(v) for k, v in final.items()}
@@ -722,7 +797,8 @@ class FCN8s:
         return values
 
     def evaluate(self, data_generator, num_batches, metrics={"loss", "mean_iou", "accuracy"},
-                 l2_regularization=0.0, dataset="val", spatial_partition=False):
+                 l2_regularization=0.0, dataset="val", spatial_partition=False,
+                 use_ema=False):
         """Public evaluation (reference `evaluate`, `fcn8s_tensorflow.py:699-741`).
         ``l2_regularization`` is accepted for parity but does not affect the
         reported loss (matching the reference, whose metric tracks total loss
@@ -733,7 +809,10 @@ class FCN8s:
         mega-resolution evaluation that exceeds one chip's activation HBM;
         requires a >1 'model' axis. (For offline full-res scoring without a
         multi-chip mesh, ``predict(tile=...)`` + the offline evaluators in
-        ``evaluation/`` are the alternative.)"""
+        ``evaluation/`` are the alternative.)
+
+        ``use_ema=True`` evaluates the EMA-averaged weights (see
+        ``train(ema_decay=...)``) instead of the live params."""
         metrics = set(metrics)
         if not metrics <= _ALLOWED_METRICS:
             raise ValueError(f"metrics must be a subset of {_ALLOWED_METRICS}")
@@ -742,7 +821,8 @@ class FCN8s:
         self.eval_dataset = dataset
         self._initialize_metrics(metrics)
         return self._evaluate(data_generator, metrics, num_batches,
-                              spatial_partition=spatial_partition)
+                              spatial_partition=spatial_partition,
+                              params=self._resolve_ema(use_ema, False))
 
     # ------------------------------------------------------------------
     def _prepare_images(self, images, pad_batch_to=None):
@@ -764,13 +844,19 @@ class FCN8s:
         return images, (n, h, w)
 
     def _dispatch_predict(self, padded, argmax=True, spatial_partition=False, overlay=None,
-                          quantized=False):
+                          quantized=False, params=None):
         """H2D + async device dispatch; returns the device array WITHOUT
         syncing, so callers can pipeline load/compute/D2H (the reference
-        serializes one image per ``sess.run``, `fcn8s_tensorflow.py:836`)."""
+        serializes one image per ``sess.run``, `fcn8s_tensorflow.py:836`).
+        ``params`` overrides the live params (e.g. the EMA tree — same
+        structure/shardings, so the cached executable is reused)."""
         fn = self._get_predict_step(padded.shape, argmax, spatial_partition, overlay,
                                     quantized)
-        call_params = self._quantized_params() if quantized else self.state.params
+        call_params = (
+            params if params is not None
+            else self._quantized_params() if quantized
+            else self.state.params
+        )
         if spatial_partition:
             im_d = jax.device_put(
                 np.ascontiguousarray(padded), self._spatial_sharding()
@@ -780,7 +866,7 @@ class FCN8s:
         return fn(call_params, im_d)
 
     def predict(self, images, argmax=True, spatial_partition=False, overlay=None,
-                quantized=False, tile=None, tile_overlap=128):
+                quantized=False, tile=None, tile_overlap=128, use_ema=False):
         """Predict segmentations. ``images``: list/array (N,H,W,3), any H,W
         (padded to stride-32 internally, output cropped back — the reference
         relied on TF dynamic shapes, `fcn8s_tensorflow.py:743-770`).
@@ -823,16 +909,23 @@ class FCN8s:
         full 1024x2048 Cityscapes-resolution prediction — whose whole
         graph the remote compiler rejects — runs via (512,512)/128 tiles
         in 0.76 s steady-state on one chip (host<->device-transfer
-        bound)."""
+        bound).
+
+        ``use_ema=True`` runs the EMA-averaged weights (see
+        ``train(ema_decay=...)``) instead of the live params; the cached
+        executable is reused (same tree structure/shardings), so toggling
+        costs no recompile. Excludes ``quantized`` (int8 scales are
+        calibrated against the live params)."""
         ov = self._overlay_lut(overlay) if overlay is not None else None
+        ema = self._resolve_ema(use_ema, quantized)
         if tile is not None:
             if spatial_partition:
                 raise ValueError("tile and spatial_partition are mutually exclusive")
             return self._predict_tiled(images, argmax, ov, quantized,
-                                       tile, tile_overlap)
+                                       tile, tile_overlap, params=ema)
         padded, (n, h, w) = self._prepare_images(images)
         out = np.asarray(self._dispatch_predict(padded, argmax, spatial_partition, ov,
-                                                quantized))
+                                                quantized, params=ema))
         out = out[:n, :h, :w]
         if argmax and ov is None and out.dtype == np.uint8:
             out = out.astype(np.int32)  # ids travel D2H compact; API stays int32
@@ -856,7 +949,7 @@ class FCN8s:
         return self._tta_steps[key]
 
     def predict_tta(self, images, scales=(1.0,), flip=True, argmax=True,
-                    quantized=False):
+                    quantized=False, use_ema=False):
         """Test-time-augmentation prediction: average class probabilities
         over the horizontal mirror and/or rescaled views — the standard
         FCN-era mIoU booster. Beyond the reference (its `predict`,
@@ -877,8 +970,11 @@ class FCN8s:
         if not scales:
             raise ValueError("predict_tta: scales must be non-empty")
         padded, (n, h, w) = self._prepare_images(images)
+        ema = self._resolve_ema(use_ema, quantized)
         call_params = (
-            self._quantized_params() if quantized else self.state.params
+            ema if ema is not None
+            else self._quantized_params() if quantized
+            else self.state.params
         )
         im_d = self._put_batch(padded)
         ph, pw = padded.shape[1:3]
@@ -919,7 +1015,8 @@ class FCN8s:
         assert prev_end == size, (prev_end, size)
         return tiles
 
-    def _predict_tiled(self, images, argmax, ov, quantized, tile, overlap):
+    def _predict_tiled(self, images, argmax, ov, quantized, tile, overlap,
+                       params=None):
         th, tw = tile
         if th % 32 or tw % 32:
             raise ValueError(f"tile dims must be multiples of 32, got {tile}")
@@ -954,7 +1051,8 @@ class FCN8s:
             part = batch[start : start + chunk_size]
             # pad the tail chunk to the full chunk size: one executable total
             part_p, (pn, _, _) = self._prepare_images(part, pad_batch_to=chunk_size)
-            pending.append((self._dispatch_predict(part_p, argmax, False, ov, quantized), pn))
+            pending.append((self._dispatch_predict(part_p, argmax, False, ov, quantized,
+                                                   params=params), pn))
             if len(pending) >= 2:
                 d, k = pending.popleft()
                 outs.append(np.asarray(d)[:k])
@@ -994,6 +1092,7 @@ class FCN8s:
         tile_overlap=128,
         output_format="overlay",
         id_map=None,
+        use_ema=False,
     ):
         """Segment every image in a directory, overlay, save to disk
         (reference `fcn8s_tensorflow.py:772-855`). ``color_map`` is a dict
@@ -1031,11 +1130,15 @@ class FCN8s:
         unused in this mode; the scorer loop is verified end-to-end
         (train -> predict_and_save(ids) -> evaluation.pixel_eval CLI ->
         streaming-confmat agreement) by
-        tests/test_offline_eval.py::test_closed_loop_scorer_consistency."""
+        tests/test_offline_eval.py::test_closed_loop_scorer_consistency.
+
+        ``use_ema=True`` serves the EMA-averaged weights (see
+        ``train(ema_decay=...)``) instead of the live params."""
         from concurrent.futures import ThreadPoolExecutor
 
         from ..viz.overlay import create_split_view, print_segmentation_onto_image
 
+        ema = self._resolve_ema(use_ema, False)
         if overwrite_existing and os.path.exists(results_dir):
             shutil.rmtree(results_dir)
         os.makedirs(results_dir, exist_ok=True)
@@ -1156,14 +1259,15 @@ class FCN8s:
                     # synchronous per chunk (see ``predict(tile=...)``)
                     dev, n = (
                         self._predict_tiled(images_host, True, ov, False,
-                                            tile, tile_overlap),
+                                            tile, tile_overlap, params=ema),
                         images_host.shape[0],
                     )
                 else:
                     padded, (n, _, _) = self._prepare_images(
                         images_host, pad_batch_to=batch_size
                     )
-                    dev = self._dispatch_predict(padded, argmax=True, overlay=ov)
+                    dev = self._dispatch_predict(padded, argmax=True, overlay=ov,
+                                                 params=ema)
                 pending.append((chunk, dev, images_host, n))
                 if len(pending) >= 2:  # double-buffer: keep one in flight
                     flush(pending)
