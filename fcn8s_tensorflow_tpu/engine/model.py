@@ -82,6 +82,17 @@ class FCN8s:
             axis); tensor_parallel: shard fc6/fc7 over the 'model' axis.
         compute_dtype: activation dtype (bfloat16 default — fp32 MXU accum).
         keep_prob / l2 are per-call args like the reference's placeholders.
+        ignore_label: optional GT id excluded from the loss mean (with
+            exactly-zero gradients) and, structurally, from the streaming
+            confusion matrix/accuracy/mIoU. Enables training the upstream
+            Cityscapes 255-ignore trainId scheme (``labels.labels_original``
+            with ``IDS_TO_TRAINIDS_ORIGINAL_ARRAY``:
+            num_classes=NUM_TRAIN_CLASSES_ORIGINAL (19),
+            ignore_label=IGNORE_LABEL (255)) — the reference can only train its modified
+            void-as-class-0 scheme (`fcn8s_tensorflow.py:253`). Persisted
+            in checkpoints. For device augmentation pass the same id as
+            ``device_augment={'void_class_id': ...}`` so translate/scale
+            border fill stays ignored.
     """
 
     def __init__(
@@ -101,6 +112,7 @@ class FCN8s:
         seed=0,
         remat=False,
         variant="fcn8s",
+        ignore_label=None,
     ):
         if model_load_dir is None and num_classes is None:
             raise ValueError(
@@ -123,14 +135,17 @@ class FCN8s:
             width_mult = cfg.get("width_mult", 1.0)
             fc_channels = cfg.get("fc_channels")
             variant = cfg.get("variant", "fcn8s")
+            ignore_label = cfg.get("ignore_label")
 
         self.num_classes = num_classes
         self.variant = variant
+        self.ignore_label = ignore_label
         self.model_config = {
             "num_classes": num_classes,
             "width_mult": width_mult,
             "fc_channels": fc_channels,
             "variant": variant,
+            "ignore_label": ignore_label,
         }
 
         # rbg keys use the TPU hardware RNG path: measured -2.4 ms/step on
@@ -239,6 +254,7 @@ class FCN8s:
                 remat=self.remat,
                 grad_accum=getattr(self, "_grad_accum", 1),
                 spatial_partition=getattr(self, "_train_spatial", False),
+                ignore_label=self.ignore_label,
             )
         return self._train_steps[batch_shape]
 
@@ -252,6 +268,7 @@ class FCN8s:
                 compute_dtype=self.compute_dtype,
                 example_params=self.state.params,
                 spatial_partition=spatial_partition,
+                ignore_label=self.ignore_label,
             )
         return self._eval_steps[key]
 

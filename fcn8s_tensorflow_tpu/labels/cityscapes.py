@@ -203,3 +203,34 @@ CATEGORYIDS_TO_IDS_DICT = categoryIds_to_ids_dict
 # RGBA overlay maps with alpha=127 (reference labels.py:217-218)
 IDS_TO_RGBA_DICT = {key: (*value, 127) for key, value in IDS_TO_COLORS_DICT.items()}
 TRAINIDS_TO_RGBA_DICT = {key: (*value, 127) for key, value in TRAINIDS_TO_COLORS_DICT.items()}
+
+# ---------------------------------------------------------------------------
+# Upstream/original 255-ignore trainId scheme LUTs (``labels_original``;
+# reference labels_original.py:63-97). 19 evaluated classes, trainId 255 =
+# ignore. Pairs with ``FCN8s(num_classes=19, ignore_label=255)``, which masks
+# ignored pixels out of the loss/metrics — the reference could only train the
+# modified void-as-class-0 scheme above. The license plate's trainId -1 maps
+# to 255 (ignored) like every other non-evaluated label.
+# ---------------------------------------------------------------------------
+NUM_TRAIN_CLASSES_ORIGINAL = 19
+IGNORE_LABEL = 255
+
+IDS_TO_TRAINIDS_ORIGINAL_ARRAY = np.full((35,), IGNORE_LABEL, dtype=np.uint8)
+for _label in labels_original:
+    if 0 <= _label.id < 35:
+        IDS_TO_TRAINIDS_ORIGINAL_ARRAY[_label.id] = _label.trainId % 256
+
+# trainId (0..18) -> labelId, for benchmark-submission export
+# (predict_and_save(output_format='ids', id_map=...)); each evaluated
+# trainId belongs to exactly one label, so the loop assigns each slot once.
+TRAINIDS_ORIGINAL_TO_IDS_ARRAY = np.zeros((NUM_TRAIN_CLASSES_ORIGINAL,), dtype=np.uint8)
+TRAINIDS_ORIGINAL_TO_COLORS_ARRAY = np.zeros((NUM_TRAIN_CLASSES_ORIGINAL, 3), dtype=np.uint8)
+for _label in labels_original:
+    if 0 <= _label.trainId < NUM_TRAIN_CLASSES_ORIGINAL:
+        TRAINIDS_ORIGINAL_TO_IDS_ARRAY[_label.trainId] = _label.id
+        TRAINIDS_ORIGINAL_TO_COLORS_ARRAY[_label.trainId] = _label.color
+
+TRAINIDS_ORIGINAL_TO_RGBA_DICT = {
+    tid: (*TRAINIDS_ORIGINAL_TO_COLORS_ARRAY[tid], 127)
+    for tid in range(NUM_TRAIN_CLASSES_ORIGINAL)
+}

@@ -36,6 +36,27 @@ def mean_softmax_cross_entropy(logits, label_ids):
     return jnp.mean(softmax_cross_entropy_with_ids(logits, label_ids))
 
 
+def valid_pixel_weights(label_ids, sample_mask, ignore_label: int):
+    """Per-pixel 0/1 fp32 weights: zero where the GT id equals
+    ``ignore_label`` (the upstream Cityscapes 255-ignore trainId scheme,
+    `/root/reference/cityscapesscripts/helpers/labels_original.py:63-97`)
+    or where the sample is batch padding. Shape = ``label_ids.shape``."""
+    valid = (label_ids.astype(jnp.int32) != ignore_label).astype(jnp.float32)
+    m = sample_mask.reshape(sample_mask.shape + (1,) * (label_ids.ndim - 1))
+    return valid * m
+
+
+def masked_mean_softmax_cross_entropy(logits, label_ids, pixel_weights):
+    """Weighted-mean CE ``sum(w * ce) / max(sum(w), 1)``. Ignored labels may
+    be out of range (e.g. 255 with 19 classes): the pick index is clamped to
+    0 where the weight is zero, so value and gradient are exactly as if the
+    pixel did not exist (no reliance on OOB-gather semantics)."""
+    w = pixel_weights.astype(jnp.float32)
+    safe_ids = jnp.where(w > 0, label_ids.astype(jnp.int32), 0)
+    ce = softmax_cross_entropy_with_ids(logits, safe_ids)
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def softmax_cross_entropy_one_hot(logits, one_hot_labels):
     """One-hot variant for callers that already hold one-hot labels (API
     parity with the reference's labels placeholder, `fcn8s_tensorflow.py:110`)."""
