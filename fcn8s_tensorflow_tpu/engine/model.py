@@ -255,6 +255,7 @@ class FCN8s:
                 grad_accum=getattr(self, "_grad_accum", 1),
                 spatial_partition=getattr(self, "_train_spatial", False),
                 ignore_label=self.ignore_label,
+                class_weights=getattr(self, "_class_weights", None),
             )
         return self._train_steps[batch_shape]
 
@@ -269,6 +270,7 @@ class FCN8s:
                 example_params=self.state.params,
                 spatial_partition=spatial_partition,
                 ignore_label=self.ignore_label,
+                class_weights=getattr(self, "_class_weights", None),
             )
         return self._eval_steps[key]
 
@@ -490,6 +492,7 @@ class FCN8s:
         gradient_accumulation=1,
         spatial_partition=False,
         ema_decay=None,
+        class_weights=None,
     ):
         """Train the model. Argument semantics follow the reference
         (`fcn8s_tensorflow.py:399-523`): the generator yields (images,
@@ -537,6 +540,16 @@ class FCN8s:
         ``train`` calls. Evaluate/serve the averaged weights via
         ``use_ema=True`` on predict/predict_tta/evaluate, or make them
         permanent with ``adopt_ema()`` (then ``save()`` persists them).
+
+        ``class_weights`` (TPU-native extra, beyond the reference): an
+        ``(num_classes,)`` per-class loss weight vector — the training and
+        evaluation loss become the weighted mean
+        ``sum(w[label]*ce)/sum(w[label])`` (composes with ``ignore_label``;
+        grad-accum microbatch shares become pixel-weight sums). Use
+        ``ops.losses.median_frequency_class_weights(counts)`` to derive the
+        standard median-frequency-balanced vector from per-class pixel
+        counts. Baked into the executable as constants; persists for
+        subsequent ``evaluate`` calls so eval loss matches training loss.
         """
         # --- validation (reference `:511-529`) ---
         metrics = set(metrics)  # the reference's default `{}` is a dict literal
@@ -554,6 +567,21 @@ class FCN8s:
             raise ValueError(f"monitor '{monitor}' requires it to be in metrics {metrics}")
         if ema_decay is not None and not (0.0 < float(ema_decay) < 1.0):
             raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+
+        if class_weights is not None:
+            cw = tuple(float(w) for w in np.asarray(class_weights).reshape(-1))
+            if len(cw) != self.num_classes:
+                raise ValueError(
+                    f"class_weights must have length num_classes="
+                    f"{self.num_classes}, got {len(cw)}")
+            if any(w < 0 for w in cw):
+                raise ValueError("class_weights must be non-negative")
+        else:
+            cw = None
+        if cw != getattr(self, "_class_weights", None):
+            self._train_steps.clear()  # weights bake in as constants
+            self._eval_steps.clear()
+        self._class_weights = cw
 
         if gradient_accumulation != getattr(self, "_grad_accum", 1):
             self._train_steps.clear()  # accumulation is baked into the executable

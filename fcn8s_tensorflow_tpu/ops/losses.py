@@ -46,6 +46,39 @@ def valid_pixel_weights(label_ids, sample_mask, ignore_label: int):
     return valid * m
 
 
+def class_pixel_weights(label_ids, sample_mask, class_weights,
+                        ignore_label: int | None = None):
+    """Per-pixel fp32 weights ``class_weights[label]`` combined with the
+    batch-padding sample mask and (optionally) an ignore id. The gather is
+    OOB-safe: an ignore id >= num_classes picks slot 0 but is zeroed by the
+    validity factor."""
+    cw = jnp.asarray(class_weights, jnp.float32)
+    ids = label_ids.astype(jnp.int32)
+    if ignore_label is not None:
+        valid = (ids != ignore_label).astype(jnp.float32)
+        ids = jnp.where(ids != ignore_label, ids, 0)
+    else:
+        valid = 1.0
+    w = cw[ids] * valid
+    m = sample_mask.reshape(sample_mask.shape + (1,) * (label_ids.ndim - 1))
+    return w * m
+
+
+def median_frequency_class_weights(class_pixel_counts):
+    """Median-frequency balancing (Eigen & Fergus 2015): weight_c =
+    median(freq) / freq_c, where freq_c = pixel share of class c. Classes
+    with zero pixels get weight 0 (they cannot be learned and must not blow
+    up the median ratio). Returns an (C,) fp32 array for
+    ``train(class_weights=...)``."""
+    counts = jnp.asarray(class_pixel_counts, jnp.float32)
+    total = jnp.maximum(counts.sum(), 1.0)
+    freq = counts / total
+    present = freq > 0
+    # median over present classes only
+    med = jnp.nanmedian(jnp.where(present, freq, jnp.nan))
+    return jnp.where(present, med / jnp.where(present, freq, 1.0), 0.0)
+
+
 def masked_mean_softmax_cross_entropy(logits, label_ids, pixel_weights):
     """Weighted-mean CE ``sum(w * ce) / max(sum(w), 1)``. Ignored labels may
     be out of range (e.g. 255 with 19 classes): the pick index is clamped to

@@ -27,6 +27,7 @@ import optax
 
 from ..models.fcn8s import apply_fcn8s, decoder_l2_loss
 from ..ops.losses import (
+    class_pixel_weights,
     masked_mean_softmax_cross_entropy,
     softmax_cross_entropy_with_ids,
     valid_pixel_weights,
@@ -133,6 +134,7 @@ def train_step(
     remat: bool = False,
     grad_accum: int = 1,
     ignore_label: int | None = None,
+    class_weights: tuple | None = None,
 ):
     """One optimization step. ``images`` NHWC uint8, ``label_ids`` NHW uint8,
     ``sample_mask`` (N,) float 0/1 — zeros mark batch-padding samples added
@@ -171,6 +173,13 @@ def train_step(
     inputs: 129.3 vs 110.1 ms/step (+17% — the dense kernel's per-pixel
     weight/label VMEM inputs relayout where the per-sample fast path keeps
     them compact; the fast path cannot mask inside its lse sum).
+
+    ``class_weights`` (beyond the reference): an (num_classes,) weight
+    vector — the loss becomes the weighted mean sum(w[label]*ce)/sum(w[label])
+    (e.g. median-frequency balancing, ``ops.losses.
+    median_frequency_class_weights``). Composes with ``ignore_label`` and
+    rides the same dense-CE path; passed as a static tuple so it bakes into
+    the executable as a constant.
     """
     # Per-step rng: fold the global step in so one key drives the run.
     step_rng = jax.random.fold_in(rng, state.step)
@@ -183,6 +192,12 @@ def train_step(
     # logits in compute dtype for it (fp32 inside the kernel) saves another
     # ~4.5% (152.9 ms) by halving the biggest tensor's HBM traffic.
     use_pallas = _on_tpu() if use_pallas_ce is None else use_pallas_ce
+    weighted = ignore_label is not None or class_weights is not None
+
+    def pixel_weights(lb_, mk_):
+        if class_weights is not None:
+            return class_pixel_weights(lb_, mk_, class_weights, ignore_label)
+        return valid_pixel_weights(lb_, mk_, ignore_label)
 
     def loss_for(params, im, lb, mk, dropout_rng):
         logits = apply_fcn8s(
@@ -200,8 +215,8 @@ def train_step(
             # the packed flatten degrades the CE kernel's access pattern. The
             # capability stays available on apply_fcn8s for other consumers.
         )
-        if ignore_label is not None:
-            w = valid_pixel_weights(lb, mk, ignore_label)
+        if weighted:
+            w = pixel_weights(lb, mk)
             if use_pallas:
                 from ..ops.pallas_kernels import softmax_cross_entropy_pallas
 
@@ -236,13 +251,12 @@ def train_step(
         # weight each microbatch by its real-sample share: the weighted sum
         # of per-microbatch masked-mean gradients IS the full-batch masked
         # mean (every real sample covers the same pixel count). The reg
-        # term rides along exactly (weights sum to 1). With ignore_label the
-        # share is counted in VALID PIXELS (microbatches no longer cover
-        # equal pixel counts).
-        if ignore_label is not None:
-            valid = (lb_m.astype(jnp.int32) != ignore_label).astype(jnp.float32)
-            mk_b = mk_m.reshape(mk_m.shape + (1,) * (lb_m.ndim - 2))
-            counts = (valid * mk_b).sum(axis=tuple(range(1, lb_m.ndim)))
+        # term rides along exactly (weights sum to 1). With ignore_label /
+        # class_weights the share is each microbatch's PIXEL-WEIGHT SUM
+        # (microbatches no longer carry equal weight).
+        if weighted:
+            w_full = pixel_weights(label_ids, sample_mask)
+            counts = w_full.reshape(grad_accum, -1).sum(axis=1)
         else:
             counts = mk_m.sum(axis=1)
         weights = counts / jnp.maximum(counts.sum(), 1.0)
@@ -281,7 +295,7 @@ def _on_tpu() -> bool:
 
 def eval_step(params, metrics_state, images, label_ids, sample_mask, *,
               num_classes: int, compute_dtype=jnp.bfloat16, use_pallas_ce: bool | None = None,
-              ignore_label: int | None = None):
+              ignore_label: int | None = None, class_weights: tuple | None = None):
     """Forward-only metric accumulation with keep_prob=1 (reference
     `_evaluate`, `fcn8s_tensorflow.py:685-689`). The confusion-matrix /
     accuracy accumulators live on device; across the 'data' axis XLA reduces
@@ -294,11 +308,16 @@ def eval_step(params, metrics_state, images, label_ids, sample_mask, *,
                          compute_dtype=compute_dtype, logits_dtype=compute_dtype)
     if use_pallas_ce is None:
         use_pallas_ce = _on_tpu()  # Pallas kernels need the TPU backend
-    if ignore_label is not None:
-        # masked loss mean over valid pixels only (see ``train_step``); the
-        # confusion matrix below needs no change — an out-of-range GT id
-        # matches no one-hot lane, so ignored pixels drop out structurally
-        w = valid_pixel_weights(label_ids, sample_mask, ignore_label)
+    if ignore_label is not None or class_weights is not None:
+        # masked/weighted loss mean over valid pixels only (see
+        # ``train_step``); the confusion matrix below needs no change — an
+        # out-of-range GT id matches no one-hot lane, so ignored pixels
+        # drop out structurally
+        if class_weights is not None:
+            w = class_pixel_weights(label_ids, sample_mask, class_weights,
+                                    ignore_label)
+        else:
+            w = valid_pixel_weights(label_ids, sample_mask, ignore_label)
         if use_pallas_ce:
             from ..ops.pallas_kernels import softmax_cross_entropy_pallas
 
@@ -382,7 +401,7 @@ def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = 
                        compute_dtype=jnp.bfloat16, example_state=None, donate: bool = True,
                        augment_fn=None, remat: bool = False, grad_accum: int = 1,
                        spatial_partition: bool = False, use_pallas_ce: bool | None = None,
-                       ignore_label: int | None = None):
+                       ignore_label: int | None = None, class_weights: tuple | None = None):
     """jit the train step with mesh shardings: batch over 'data', params per
     the TP rules, carried state donated (in-place update, halves HBM).
 
@@ -429,7 +448,7 @@ def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = 
     fn = partial(train_step, optimizer=optimizer, num_classes=num_classes,
                  compute_dtype=compute_dtype, augment_fn=augment_fn, remat=remat,
                  grad_accum=grad_accum, use_pallas_ce=use_pallas_ce,
-                 ignore_label=ignore_label)
+                 ignore_label=ignore_label, class_weights=class_weights)
     return jax.jit(
         fn,
         in_shardings=(state_shardings, data, data, mask_sharding, rep, rep, rep, rep),
@@ -462,7 +481,7 @@ def _match_opt_state_to_params(state, state_shardings, p_shard, rep):
 
 def compile_eval_step(mesh, num_classes, *, tensor_parallel: bool = True, compute_dtype=jnp.bfloat16,
                       example_params=None, spatial_partition: bool = False,
-                      ignore_label: int | None = None):
+                      ignore_label: int | None = None, class_weights: tuple | None = None):
     """``spatial_partition=True`` shards the images/labels width dim over
     'model' (exact — GSPMD conv halos; see ``compile_train_step``) with
     params replicated and the composite XLA loss (the Pallas CE kernel is
@@ -491,7 +510,8 @@ def compile_eval_step(mesh, num_classes, *, tensor_parallel: bool = True, comput
     )
     metrics_shard = rep if example_params is not None else None
     fn = partial(eval_step, num_classes=num_classes, compute_dtype=compute_dtype,
-                 use_pallas_ce=use_pallas, ignore_label=ignore_label)
+                 use_pallas_ce=use_pallas, ignore_label=ignore_label,
+                 class_weights=class_weights)
     return jax.jit(
         fn,
         in_shardings=(
