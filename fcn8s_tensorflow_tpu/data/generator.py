@@ -129,6 +129,52 @@ class BatchGenerator:
         return self.dataset_size
 
     # ------------------------------------------------------------------
+    def class_pixel_counts(self, num_classes=None, *, ids_to_classes=None,
+                           ignore_label=None):
+        """One pass over the paired ground-truth ID maps -> per-class pixel
+        counts, shape ``(num_classes,)`` uint64 (beyond the reference; feeds
+        ``ops.losses.median_frequency_class_weights`` for
+        ``train(class_weights=...)``).
+
+        ``ids_to_classes``: optional LUT array applied to raw GT ids first
+        (e.g. ``labels.IDS_TO_TRAINIDS_ORIGINAL_ARRAY`` to scan labelId maps
+        under the 255-ignore trainId scheme). ``ignore_label`` pixels are
+        excluded from the counts; any other id outside ``[0, num_classes)``
+        raises ``DataError`` naming the offending file — the same
+        fail-loud-on-bad-labels stance as the pairing validation above.
+        """
+        if not self.ground_truth:
+            raise DataError("class_pixel_counts requires ground truth maps.")
+        num_classes = num_classes if num_classes is not None else self.num_classes
+        if num_classes is None:
+            raise ValueError("num_classes is required (not set on this generator)")
+        lut = None if ids_to_classes is None else np.asarray(ids_to_classes)
+        counts = np.zeros(num_classes, np.uint64)
+        for gt_path in self.ground_truth_paths.values():
+            ids = _imread(gt_path)
+            if ids.ndim == 3:  # RGB-saved ID map: all channels equal
+                ids = ids[..., 0]
+            ids = ids.ravel()
+            if lut is not None:
+                if ids.max(initial=0) >= len(lut):
+                    raise DataError(
+                        f"Ground truth '{gt_path}' contains id {int(ids.max())} "
+                        f"outside the ids_to_classes LUT (length {len(lut)})."
+                    )
+                ids = lut[ids]
+            per = np.bincount(ids, minlength=int(ids.max(initial=0)) + 1)
+            if ignore_label is not None and ignore_label < len(per):
+                per[ignore_label] = 0
+            if len(per) > num_classes and per[num_classes:].any():
+                bad = int(np.nonzero(per[num_classes:])[0][0]) + num_classes
+                raise DataError(
+                    f"Ground truth '{gt_path}' contains class id {bad} >= "
+                    f"num_classes={num_classes} (and != ignore_label)."
+                )
+            counts[: len(per)] += per[:num_classes].astype(np.uint64)
+        return counts
+
+    # ------------------------------------------------------------------
     def generate(
         self,
         batch_size,

@@ -67,3 +67,22 @@ def exponential_decay(initial_lr: float, decay_steps: int, decay_rate: float,
         return initial_lr * decay_rate ** exponent
 
     return schedule
+
+
+def polynomial_decay(initial_lr: float, total_steps: int, *, power: float = 0.9,
+                     end_lr: float = 0.0, warmup_steps: int = 0):
+    """The segmentation-standard "poly" schedule (FCN follow-ups, DeepLab):
+    ``end_lr + (initial_lr - end_lr) * (1 - t)**power`` with
+    ``t = (step - warmup) / (total - warmup)`` clamped to [0, 1], after an
+    optional linear warmup. Beyond-reference convenience; same plain
+    ``step -> float`` zero-recompile contract."""
+    if total_steps <= warmup_steps:
+        raise ValueError("total_steps must exceed warmup_steps")
+
+    def schedule(step: int) -> float:
+        if step < warmup_steps:
+            return initial_lr * (step + 1) / warmup_steps
+        t = min(1.0, (step - warmup_steps) / (total_steps - warmup_steps))
+        return end_lr + (initial_lr - end_lr) * (1.0 - t) ** power
+
+    return schedule

@@ -168,6 +168,59 @@ def test_facade_class_weights_compose_with_ignore_label():
     assert np.isfinite(m.training_loss)
 
 
+def _toy_tree(tmp_path, gts):
+    """Write a minimal Cityscapes-style image/GT tree; returns a generator."""
+    from PIL import Image
+
+    from fcn8s_tensorflow_tpu.data.generator import BatchGenerator
+
+    img_root = tmp_path / "img" / "aachen"
+    gt_root = tmp_path / "gt" / "aachen"
+    img_root.mkdir(parents=True)
+    gt_root.mkdir(parents=True)
+    for i, gt in enumerate(gts):
+        stem = f"aachen_{i:06d}_000019"
+        img = np.zeros((*gt.shape, 3), np.uint8)
+        Image.fromarray(img).save(img_root / f"{stem}_leftImg8bit.png")
+        Image.fromarray(gt).save(gt_root / f"{stem}_gtFine_labelIds.png")
+    return BatchGenerator(
+        image_dirs=[str(tmp_path / "img")],
+        ground_truth_dirs=[str(tmp_path / "gt")],
+        image_name_split_separator="leftImg8bit",
+        ground_truth_suffix="gtFine_labelIds",
+        num_classes=3,
+    )
+
+
+def test_class_pixel_counts_scan(tmp_path):
+    g1 = np.zeros((4, 8), np.uint8)
+    g1[:, 6:] = 1  # 8 pixels of class 1
+    g2 = np.full((4, 8), 2, np.uint8)
+    g2[0, :] = 255  # 8 ignored pixels
+    gen = _toy_tree(tmp_path, [g1, g2])
+    counts = gen.class_pixel_counts(ignore_label=255)
+    np.testing.assert_array_equal(counts, [24, 8, 24])
+    # chains directly into the weight builder
+    w = np.asarray(median_frequency_class_weights(counts))
+    assert w[1] > w[0] == w[2]
+
+
+def test_class_pixel_counts_lut_and_validation(tmp_path):
+    from fcn8s_tensorflow_tpu.data.generator import DataError
+
+    g = np.zeros((2, 4), np.uint8)
+    g[:, 2:] = 7
+    gen = _toy_tree(tmp_path, [g])
+    # LUT maps raw id 7 -> class 1, id 0 -> ignore
+    lut = np.full(34, 255, np.uint8)
+    lut[7] = 1
+    counts = gen.class_pixel_counts(ids_to_classes=lut, ignore_label=255)
+    np.testing.assert_array_equal(counts, [0, 4, 0])
+    # an out-of-range class id fails loud, naming the file
+    with pytest.raises(DataError, match="labelIds"):
+        gen.class_pixel_counts()  # raw id 7 >= num_classes=3, no ignore
+
+
 def test_facade_class_weights_validation():
     m = FCN8s(num_classes=3, **TINY)
     images, labels = _toy()

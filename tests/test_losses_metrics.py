@@ -175,6 +175,26 @@ def test_extra_schedules():
     assert abs(es(9) - 1.0) < 1e-9 and abs(es(10) - 0.5) < 1e-9
 
 
+def test_polynomial_decay_schedule():
+    from fcn8s_tensorflow_tpu.engine.schedules import polynomial_decay
+
+    p = polynomial_decay(1.0, 100, power=0.9, end_lr=0.01)
+    assert abs(p(0) - 1.0) < 1e-9
+    assert abs(p(100) - 0.01) < 1e-9
+    assert abs(p(50) - (0.01 + 0.99 * 0.5 ** 0.9)) < 1e-9
+    assert p(200) == p(100)  # clamped past total_steps
+    # power=1 is linear
+    lin = polynomial_decay(1.0, 10, power=1.0)
+    assert abs(lin(5) - 0.5) < 1e-9
+    # warmup ramps linearly then hands off at the peak
+    w = polynomial_decay(1.0, 110, power=0.9, warmup_steps=10)
+    assert abs(w(0) - 0.1) < 1e-9
+    assert abs(w(9) - 1.0) < 1e-9
+    assert abs(w(60) - 0.5 ** 0.9) < 1e-9
+    with np.testing.assert_raises(Exception):
+        polynomial_decay(1.0, 5, warmup_steps=5)
+
+
 def test_benchmark_iou_from_confusion_hand_computed():
     """Hand-computed fixture for the benchmark FP rule (FP excludes pixels
     whose GT is the void/ignored class) — reference
