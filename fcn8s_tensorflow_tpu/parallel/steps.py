@@ -457,6 +457,76 @@ def compile_train_step(mesh, optimizer, num_classes, *, tensor_parallel: bool = 
     )
 
 
+def compile_multi_train_step(mesh, optimizer, num_classes, *, steps_per_dispatch: int,
+                             tensor_parallel: bool = True, compute_dtype=jnp.bfloat16,
+                             example_state=None, donate: bool = True, augment_fn=None,
+                             remat: bool = False, grad_accum: int = 1,
+                             use_pallas_ce: bool | None = None,
+                             ignore_label: int | None = None,
+                             class_weights: tuple | None = None):
+    """``lax.scan`` of S train steps inside ONE executable — the on-device
+    train-loop pattern, amortizing per-dispatch host overhead over S steps.
+    Takes S-stacked batches ``(S, N, H, W, C)`` / ``(S, N, H, W)`` /
+    ``(S, N)`` and returns ``(state, losses[S])``.
+
+    MEASURED on this hardware (``benchmarks/multistep_bench.py``, full-width
+    8x1024x512): 108.3/108.6 ms/step single-dispatch vs 108.4/108.5 scanned
+    (S=4/S=8) — +-0.1%, i.e. NO throughput win here, because the training
+    loop never syncs per step (loss D2H only on the summaries cadence), so
+    XLA's async dispatch already pipelines the per-dispatch cost away. Kept
+    as a steps-level API for hosts where dispatch is NOT hidden (per-step
+    metric syncs, slow host Python, or very short steps); not wired into the
+    facade to avoid surface for a measured non-win.
+
+    Semantics vs S single dispatches: identical math and identical RNG
+    (``train_step`` folds ``state.step`` per scanned step), EXCEPT the
+    (lr, l2, keep_prob) scalars are shared by the S steps — an LR schedule
+    advances per dispatch."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from .mesh import batch_spec, param_sharding_tree, replicated
+
+    if steps_per_dispatch < 1:
+        raise ValueError("steps_per_dispatch must be >= 1")
+    rep = replicated(mesh)
+    stacked = NamedSharding(mesh, PartitionSpec(None, *batch_spec()))
+
+    if example_state is not None:
+        p_shard = param_sharding_tree(mesh, example_state.params,
+                                      tensor_parallel=tensor_parallel)
+        state_shardings = TrainState(
+            step=rep, params=p_shard,
+            opt_state=jax.tree.map(lambda _: rep, example_state.opt_state),
+        )
+        state_shardings = _match_opt_state_to_params(
+            example_state, state_shardings, p_shard, rep)
+    else:
+        state_shardings = None
+
+    step_fn = partial(train_step, optimizer=optimizer, num_classes=num_classes,
+                      compute_dtype=compute_dtype, augment_fn=augment_fn,
+                      remat=remat, grad_accum=grad_accum,
+                      use_pallas_ce=use_pallas_ce, ignore_label=ignore_label,
+                      class_weights=class_weights)
+
+    def multi(state, images_s, labels_s, mask_s, rng, learning_rate, l2_rate,
+              keep_prob):
+        def body(st, xs):
+            im, lb, mk = xs
+            st, loss = step_fn(st, im, lb, mk, rng, learning_rate, l2_rate,
+                               keep_prob)
+            return st, loss
+
+        return jax.lax.scan(body, state, (images_s, labels_s, mask_s))
+
+    return jax.jit(
+        multi,
+        in_shardings=(state_shardings, stacked, stacked, stacked, rep, rep, rep, rep),
+        out_shardings=(state_shardings, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def _match_opt_state_to_params(state, state_shardings, p_shard, rep):
     """Give Adam's mu/nu the same sharding as their params; scalars replicate."""
 

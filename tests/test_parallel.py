@@ -341,3 +341,58 @@ def test_spatial_with_grad_accum_composes(model_state, rng):
                      jax.random.PRNGKey(1), 1e-3, 0.0, 1.0)
     assert np.isfinite(float(loss))
     assert int(new.step) == 1
+
+
+def test_multi_step_scan_matches_single_dispatches(model_state, rng):
+    """compile_multi_train_step(S) == S single-step dispatches: identical
+    math and per-step RNG folds, so params and losses must agree."""
+    from fcn8s_tensorflow_tpu.parallel.steps import compile_multi_train_step
+
+    state, optimizer = model_state
+    mesh = create_mesh(data=4, model=2)
+    key = jax.random.PRNGKey(3)
+    batches = [_batch(rng, 4) for _ in range(3)]
+
+    step1 = compile_train_step(mesh, optimizer, NUM_CLASSES, tensor_parallel=False,
+                               compute_dtype=jnp.float32, example_state=state,
+                               donate=False)
+    st = state
+    ref_losses = []
+    for images, labels, mask in batches:
+        im, lb, mk = shard_batch(mesh, images, labels, mask)
+        st, loss = step1(st, im, lb, mk, key, 1e-3, 1e-4, 1.0)
+        ref_losses.append(float(loss))
+
+    stepS = compile_multi_train_step(mesh, optimizer, NUM_CLASSES,
+                                     steps_per_dispatch=3, tensor_parallel=False,
+                                     compute_dtype=jnp.float32, example_state=state,
+                                     donate=False)
+    stacked = [np.stack([b[i] for b in batches]) for i in range(3)]
+    stM, losses = stepS(state, *[jax.device_put(x) for x in stacked],
+                        key, 1e-3, 1e-4, 1.0)
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    assert int(stM.step) == 3
+    for a, b in zip(jax.tree.leaves(stM.params), jax.tree.leaves(st.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+
+
+def test_multi_step_dropout_rng_distinct_per_scanned_step(model_state, rng):
+    """The per-step RNG fold must give each scanned step a fresh dropout
+    mask: two scanned steps on IDENTICAL data must produce different losses
+    under keep_prob < 1 (same loss would mean a reused mask)."""
+    from fcn8s_tensorflow_tpu.parallel.steps import compile_multi_train_step
+
+    state, optimizer = model_state
+    mesh = create_mesh(data=4, model=2)
+    images, labels, mask = _batch(rng, 4)
+    stacked = [np.stack([x, x]) for x in (images, labels, mask)]
+    stepS = compile_multi_train_step(mesh, optimizer, NUM_CLASSES,
+                                     steps_per_dispatch=2, tensor_parallel=False,
+                                     compute_dtype=jnp.float32, example_state=state,
+                                     donate=False)
+    _, losses = stepS(state, *[jax.device_put(x) for x in stacked],
+                      jax.random.PRNGKey(5), 0.0, 0.0, 0.5)  # lr=0: same params
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    assert losses[0] != losses[1]
