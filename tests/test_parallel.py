@@ -343,6 +343,7 @@ def test_spatial_with_grad_accum_composes(model_state, rng):
     assert int(new.step) == 1
 
 
+@pytest.mark.slow
 def test_multi_step_scan_matches_single_dispatches(model_state, rng):
     """compile_multi_train_step(S) == S single-step dispatches: identical
     math and per-step RNG folds, so params and losses must agree."""
@@ -377,6 +378,7 @@ def test_multi_step_scan_matches_single_dispatches(model_state, rng):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multi_step_dropout_rng_distinct_per_scanned_step(model_state, rng):
     """The per-step RNG fold must give each scanned step a fresh dropout
     mask: two scanned steps on IDENTICAL data must produce different losses
