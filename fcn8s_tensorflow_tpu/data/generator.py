@@ -195,6 +195,7 @@ class BatchGenerator:
         seed=None,
         pad_to_multiple=None,
         workers=1,
+        shard=None,
     ):
         """Infinite batch iterator with the reference's exact transform
         pipeline and argument semantics (`batch_generator.py:140-417`);
@@ -209,7 +210,18 @@ class BatchGenerator:
         (which stays byte-identical to previous releases). NOTE: the win
         requires a multi-core host; the dev environment here exposes ONE
         core (nproc=1), where threaded cv2/PIL measured ~1.0x by
-        construction — determinism and ordering are what the tests pin."""
+        construction — determinism and ordering are what the tests pin.
+
+        ``shard=(index, count)`` (TPU-first extra): multi-host input
+        sharding — host ``index`` of ``count`` yields only its disjoint
+        slice of each epoch, so a ``jax.distributed`` group feeds disjoint
+        data without coordination. Every host shuffles the FULL path list
+        with an isolated generator seeded by ``seed`` alone (identical
+        permutation on every host, so shards stay disjoint and cover each
+        epoch exactly), then walks ``paths[index::count]``; augmentation
+        draws come from a per-host generator seeded by ``(seed, index)``.
+        ``shuffle=True`` therefore requires a ``seed``: unseeded hosts
+        would draw different permutations and the shards would overlap."""
         if (convert_to_one_hot or convert_colors_to_ids is not False or convert_ids_to_ids is not False) and not self.ground_truth:
             raise ValueError("Cannot convert ground truth data: No ground truth data given.")
         if convert_to_one_hot and self.num_classes is None:
@@ -218,7 +230,23 @@ class BatchGenerator:
                 "in the constructor, but `num_classes` is `None`."
             )
 
-        rng = np.random.default_rng(seed)
+        if shard is not None:
+            shard_index, shard_count = shard
+            if not (0 <= shard_index < shard_count):
+                raise ValueError(
+                    f"shard must be (index, count) with 0 <= index < count, got {shard}")
+            if shuffle and seed is None:
+                raise ValueError(
+                    "shard with shuffle=True requires a seed (hosts must draw "
+                    "the same epoch permutation to keep shards disjoint)")
+            # Isolated shuffle stream (identical across hosts) + per-host
+            # augmentation stream: local draw counts differ per host, so
+            # sharing one generator would desynchronize the permutations.
+            shuffle_rng = np.random.default_rng(seed)
+            rng = np.random.default_rng(None if seed is None else (seed, shard_index))
+        else:
+            rng = np.random.default_rng(seed)
+            shuffle_rng = rng  # byte-identical legacy stream
         _pool = []
 
         def executor():
@@ -230,7 +258,9 @@ class BatchGenerator:
 
         image_paths = list(self.image_paths)
         if shuffle:
-            rng.shuffle(image_paths)
+            shuffle_rng.shuffle(image_paths)
+        local_paths = (image_paths[shard_index::shard_count]
+                       if shard is not None else image_paths)
         current = 0
 
         # try/finally (not only GeneratorExit): a raising process_one
@@ -240,9 +270,11 @@ class BatchGenerator:
             while True:
                 images, gt_images = [], []
 
-                if current >= len(image_paths):
+                if current >= len(local_paths):
                     if shuffle:
-                        rng.shuffle(image_paths)
+                        shuffle_rng.shuffle(image_paths)
+                        if shard is not None:
+                            local_paths = image_paths[shard_index::shard_count]
                     current = 0
 
                 def process_one(image_path, prng):
@@ -305,7 +337,7 @@ class BatchGenerator:
 
                     return image, gt_image
 
-                chunk = image_paths[current : current + batch_size]
+                chunk = local_paths[current : current + batch_size]
                 if workers > 1:
                     # per-image child RNGs derived in path order: deterministic
                     # for a given seed, independent of the worker count

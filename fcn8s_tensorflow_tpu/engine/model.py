@@ -777,7 +777,7 @@ class FCN8s:
         ``monitor`` is an eval metric), every ``save_frequency`` epoch
         saves unconditionally — "best so far" is undefined, and losing the
         early checkpoints to a strict reading of best-only would be worse.
-        Pinned by tests/test_checkpoint.py::test_monitor_first_save_wins."""
+        Pinned by tests/test_engine.py::test_monitor_first_save_wins."""
         if monitor == "loss" and "loss" not in self.metric_names:
             return self.training_loss is not None and self.training_loss < self.best_training_loss
         if monitor not in self.metric_names:

@@ -322,3 +322,87 @@ def test_generate_workers_deterministic_and_pool_size_independent(cityscapes_tre
     # sequential stream unchanged and same shapes
     s = take(1)
     assert s[0][0].shape == a[0][0].shape
+
+
+# ---------------------------------------------------------------------------
+# multi-host input sharding: generate(shard=(index, count))
+# ---------------------------------------------------------------------------
+def _identity_map(tree):
+    """image bytes -> stem, for identifying yielded images."""
+    out = {}
+    for city in ["aachen", "bochum"]:
+        for path in sorted(os.listdir(os.path.join(tree["img_root"], city))):
+            arr = np.asarray(Image.open(os.path.join(tree["img_root"], city, path)))
+            out[arr.tobytes()] = path
+    return out
+
+
+def _epoch_stems(gen_iter, n_batches, ident):
+    stems = []
+    for _ in range(n_batches):
+        images, _ = next(gen_iter)
+        for im in images:
+            stems.append(ident[im.tobytes()])
+    return stems
+
+
+def test_shard_disjoint_and_covering(cityscapes_tree):
+    gen = _make_gen(cityscapes_tree)
+    ident = _identity_map(cityscapes_tree)
+    shards = []
+    for idx in (0, 1):
+        it = gen.generate(batch_size=1, convert_to_one_hot=False, shuffle=True,
+                          seed=11, shard=(idx, 2))
+        shards.append(_epoch_stems(it, 3, ident))  # one epoch = 3 images/host
+    assert not set(shards[0]) & set(shards[1])  # disjoint
+    assert len(set(shards[0] + shards[1])) == 6  # together: the full epoch
+
+    # deterministic: the same (seed, shard) replays identically
+    it = gen.generate(batch_size=1, convert_to_one_hot=False, shuffle=True,
+                      seed=11, shard=(0, 2))
+    assert _epoch_stems(it, 3, ident) == shards[0]
+
+
+def test_shard_stays_disjoint_across_epochs_with_augmentation(cityscapes_tree):
+    """Augmentation draw counts differ per host; the isolated shuffle stream
+    must keep later-epoch permutations in lockstep anyway."""
+    gen = _make_gen(cityscapes_tree)
+    ident = _identity_map(cityscapes_tree)
+    # flip mutates pixels; identify by shape-stable content via flip-back
+    epochs = {}
+    for idx in (0, 1):
+        it = gen.generate(batch_size=1, convert_to_one_hot=False, shuffle=True,
+                          seed=7, shard=(idx, 2), flip=0.5)
+        stems = []
+        for _ in range(9):  # 3 epochs x 3 images
+            images, _ = next(it)
+            im = images[0]
+            key = im.tobytes()
+            if key not in ident:
+                key = im[:, ::-1].tobytes()  # undo a flip
+            stems.append(ident[key])
+        epochs[idx] = [stems[0:3], stems[3:6], stems[6:9]]
+    for e in range(3):
+        assert not set(epochs[0][e]) & set(epochs[1][e]), f"epoch {e} overlaps"
+        assert len(set(epochs[0][e] + epochs[1][e])) == 6
+
+
+def test_shard_validation(cityscapes_tree):
+    gen = _make_gen(cityscapes_tree)
+    with pytest.raises(ValueError, match="seed"):
+        next(gen.generate(batch_size=1, convert_to_one_hot=False, shuffle=True,
+                          shard=(0, 2)))
+    with pytest.raises(ValueError, match="index"):
+        next(gen.generate(batch_size=1, convert_to_one_hot=False, shuffle=False,
+                          shard=(2, 2)))
+
+
+def test_shard_unsharded_stream_unchanged(cityscapes_tree):
+    """shard=None must keep the legacy byte-identical RNG stream (shuffle and
+    augment draws from ONE generator)."""
+    gen = _make_gen(cityscapes_tree)
+    a = next(gen.generate(batch_size=6, convert_to_one_hot=False, shuffle=True,
+                          seed=3, brightness=(0.5, 1.5, 0.5)))
+    b = next(gen.generate(batch_size=6, convert_to_one_hot=False, shuffle=True,
+                          seed=3, brightness=(0.5, 1.5, 0.5)))
+    np.testing.assert_array_equal(a[0], b[0])
