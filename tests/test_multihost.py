@@ -41,6 +41,24 @@ def test_four_process_distributed_train_step():
 
 
 @pytest.mark.slow
+def test_two_process_sharded_input():
+    """Each process feeds ONLY its generate(shard=...) slice of a shared
+    dataset via make_array_from_process_local_data; the smoke asserts the
+    shards are disjoint-covering and the global psum loss is identical."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multihost_smoke.py"),
+         "--sharded-input"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "sharded input OK" in out.stdout
+    assert "MULTIHOST SMOKE OK" in out.stdout
+
+
+@pytest.mark.slow
 def test_fault_injection_resume_bit_exact():
     """Kill a process mid-run; restart from checkpoint; final params must
     match the uninterrupted run bit-exactly (tools/multihost_fault_injection.py)."""
