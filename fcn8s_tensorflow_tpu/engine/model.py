@@ -93,6 +93,17 @@ class FCN8s:
             in checkpoints. For device augmentation pass the same id as
             ``device_augment={'void_class_id': ...}`` so translate/scale
             border fill stays ignored.
+        optimizer: ``"adam"`` (default — the reference's TF1-exact Adam,
+            `fcn8s_tensorflow.py:256`) | ``"adamw"`` | ``"momentum"`` |
+            ``"sgd"`` (see ``parallel.steps.make_optimizer``), or a ready
+            ``optax.GradientTransformation`` built with
+            ``optax.inject_hyperparams`` carrying a ``learning_rate``
+            hyperparameter. ``optimizer_kwargs`` feeds the named variants
+            (e.g. ``{"momentum": 0.95}``, ``{"weight_decay": 5e-4}``);
+            ``clip_norm`` prepends global-norm gradient clipping. All three
+            persist in checkpoints and are restored by ``model_load_dir`` /
+            ``resume`` (named variants only — the optimizer state must
+            deserialize into the matching transformation).
     """
 
     def __init__(
@@ -113,6 +124,9 @@ class FCN8s:
         remat=False,
         variant="fcn8s",
         ignore_label=None,
+        optimizer="adam",
+        optimizer_kwargs=None,
+        clip_norm=None,
     ):
         if model_load_dir is None and num_classes is None:
             raise ValueError(
@@ -136,6 +150,18 @@ class FCN8s:
             fc_channels = cfg.get("fc_channels")
             variant = cfg.get("variant", "fcn8s")
             ignore_label = cfg.get("ignore_label")
+            # The optimizer state in the checkpoint only deserializes into
+            # the matching transformation — rebuild from the saved config
+            # (pre-optimizer-config checkpoints were all TF1-Adam).
+            if not isinstance(optimizer, str):
+                raise ValueError(
+                    "model_load_dir restores the checkpoint's own optimizer "
+                    "config; a custom GradientTransformation cannot be "
+                    "combined with it (use variables_load_dir to load "
+                    "weights into a freshly-configured model instead)")
+            optimizer = cfg.get("optimizer", "adam")
+            optimizer_kwargs = cfg.get("optimizer_kwargs")
+            clip_norm = cfg.get("clip_norm")
 
         self.num_classes = num_classes
         self.variant = variant
@@ -146,6 +172,9 @@ class FCN8s:
             "fc_channels": fc_channels,
             "variant": variant,
             "ignore_label": ignore_label,
+            "optimizer": optimizer if isinstance(optimizer, str) else "custom",
+            "optimizer_kwargs": optimizer_kwargs,
+            "clip_norm": clip_norm,
         }
 
         # rbg keys use the TPU hardware RNG path: measured -2.4 ms/step on
@@ -167,7 +196,13 @@ class FCN8s:
             )
         )
         params = init_fn(init_rng)
-        self.optimizer = make_optimizer()
+        if isinstance(optimizer, str):
+            self.optimizer = make_optimizer(
+                optimizer, clip_norm=clip_norm, **(optimizer_kwargs or {}))
+        else:
+            # a ready optax.GradientTransformation (must carry an
+            # inject_hyperparams 'learning_rate' for the per-step schedule)
+            self.optimizer = optimizer
         self.state = create_train_state(params, self.optimizer)
 
         if model_load_dir is not None:

@@ -87,18 +87,57 @@ def scale_by_adam_tf1(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def _adam_tf1(learning_rate):
-    return optax.chain(
-        scale_by_adam_tf1(), optax.scale_by_learning_rate(learning_rate)
-    )
+OPTIMIZERS = ("adam", "adamw", "momentum", "sgd")
 
 
-def make_optimizer() -> optax.GradientTransformation:
-    """Adam with TF1 defaults and TF1's exact update formulation (beta1=0.9,
-    beta2=0.999, eps=1e-8 — ``tf.train.AdamOptimizer``, reference `:256`;
-    see ``scale_by_adam_tf1``), with the learning rate injected per-step as
-    a traced hyperparameter."""
-    return optax.inject_hyperparams(_adam_tf1)(learning_rate=1e-4)
+def make_optimizer(name: str = "adam", clip_norm: float | None = None,
+                   **hyper) -> optax.GradientTransformation:
+    """Build the train-step optimizer. Default is the reference's exact
+    optimizer — Adam with TF1 defaults and TF1's exact update formulation
+    (beta1=0.9, beta2=0.999, eps=1e-8 — ``tf.train.AdamOptimizer``,
+    reference `fcn8s_tensorflow.py:256`; see ``scale_by_adam_tf1``) — with
+    the learning rate injected per-step as a traced hyperparameter, so the
+    per-step LR-schedule semantics cost zero recompiles.
+
+    Beyond the reference (which hardcodes Adam), ``name`` selects:
+
+    * ``"adam"`` — TF1-exact Adam (``b1``, ``b2``, ``eps`` kwargs).
+    * ``"adamw"`` — the same Adam scaling plus decoupled weight decay
+      (``weight_decay``, default 1e-4): ``w -= lr*(adam_update + wd*w)``
+      (Loshchilov & Hutter; the decay multiplies the *traced* lr, so LR
+      schedules scale it automatically).
+    * ``"momentum"`` — ``tf.train.MomentumOptimizer`` semantics
+      (``momentum`` default 0.9, ``nesterov`` default False):
+      ``accum = momentum*accum + g; w -= lr*accum``.
+    * ``"sgd"`` — plain ``w -= lr*g``.
+
+    ``clip_norm`` prepends global-norm gradient clipping (applied to the
+    raw gradient, before any moment accumulation — the standard placement).
+    All variants share the ``TrainState``/checkpoint plumbing: their states
+    are optax pytrees saved and restored leaf-by-leaf."""
+    name = name.lower()
+    if name not in OPTIMIZERS:
+        raise ValueError(f"unknown optimizer '{name}'; one of {OPTIMIZERS}")
+
+    def factory(learning_rate):
+        chain = []
+        if clip_norm is not None:
+            chain.append(optax.clip_by_global_norm(clip_norm))
+        if name in ("adam", "adamw"):
+            chain.append(scale_by_adam_tf1(
+                b1=hyper.get("b1", 0.9), b2=hyper.get("b2", 0.999),
+                eps=hyper.get("eps", 1e-8)))
+            if name == "adamw":
+                chain.append(optax.add_decayed_weights(
+                    hyper.get("weight_decay", 1e-4)))
+        elif name == "momentum":
+            chain.append(optax.trace(decay=hyper.get("momentum", 0.9),
+                                     nesterov=hyper.get("nesterov", False)))
+        # "sgd": nothing but the lr scale
+        chain.append(optax.scale_by_learning_rate(learning_rate))
+        return optax.chain(*chain)
+
+    return optax.inject_hyperparams(factory)(learning_rate=1e-4)
 
 
 def create_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
