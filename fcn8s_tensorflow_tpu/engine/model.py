@@ -946,7 +946,8 @@ class FCN8s:
         return fn(call_params, im_d)
 
     def predict(self, images, argmax=True, spatial_partition=False, overlay=None,
-                quantized=False, tile=None, tile_overlap=128, use_ema=False):
+                quantized=False, tile=None, tile_overlap=128, tile_blend=False,
+                use_ema=False):
         """Predict segmentations. ``images``: list/array (N,H,W,3), any H,W
         (padded to stride-32 internally, output cropped back — the reference
         relied on TF dynamic shapes, `fcn8s_tensorflow.py:743-770`).
@@ -991,6 +992,18 @@ class FCN8s:
         in 0.76 s steady-state on one chip (host<->device-transfer
         bound).
 
+        ``tile_blend=True`` replaces the hard core-paste with **feathered
+        probability blending**: every tile contributes its full softmax,
+        weighted by a linear ramp rising over ``tile_overlap/2`` px from
+        each tile edge, and overlapping contributions are normalized to a
+        convex combination before the (optional) argmax — the standard
+        seam-suppression for tiled segmentation. Exact where one tile
+        covers a pixel alone; at seams it averages the overlapping views
+        instead of cutting between them. Costs the full (...,C) float32
+        probability D2H per tile (C x 4 the id-map payload) plus a host
+        accumulation buffer of n x H x W x C floats; incompatible with
+        ``overlay`` (composite on host afterwards: ``viz.overlay``).
+
         ``use_ema=True`` runs the EMA-averaged weights (see
         ``train(ema_decay=...)``) instead of the live params; the cached
         executable is reused (same tree structure/shardings), so toggling
@@ -1002,7 +1015,10 @@ class FCN8s:
             if spatial_partition:
                 raise ValueError("tile and spatial_partition are mutually exclusive")
             return self._predict_tiled(images, argmax, ov, quantized,
-                                       tile, tile_overlap, params=ema)
+                                       tile, tile_overlap, params=ema,
+                                       blend=tile_blend)
+        if tile_blend:
+            raise ValueError("tile_blend requires tile=(th, tw)")
         padded, (n, h, w) = self._prepare_images(images)
         out = np.asarray(self._dispatch_predict(padded, argmax, spatial_partition, ov,
                                                 quantized, params=ema))
@@ -1095,13 +1111,27 @@ class FCN8s:
         assert prev_end == size, (prev_end, size)
         return tiles
 
+    @staticmethod
+    def _feather_profile(t: int, margin: float) -> np.ndarray:
+        """1-D blend weight: linear ramp over ``margin`` px from both tile
+        edges, flat 1.0 inside; strictly positive everywhere (pixel centers
+        at idx+0.5), so single-coverage pixels normalize to exactly their
+        own tile's value."""
+        idx = np.arange(t, dtype=np.float32) + 0.5
+        return np.minimum(np.minimum(idx, t - idx) / margin, 1.0).astype(
+            np.float32)
+
     def _predict_tiled(self, images, argmax, ov, quantized, tile, overlap,
-                       params=None):
+                       params=None, blend=False):
         th, tw = tile
         if th % 32 or tw % 32:
             raise ValueError(f"tile dims must be multiples of 32, got {tile}")
         if overlap % 2 or overlap < 0:
             raise ValueError(f"tile_overlap must be even and >= 0, got {overlap}")
+        if blend and ov is not None:
+            raise ValueError(
+                "tile_blend composites probabilities before any overlay; "
+                "predict ids first and composite on host (viz.overlay)")
         # the default overlap (sized for production tiles) auto-clamps so
         # small tiles keep a positive stride
         overlap = min(overlap, min(th, tw) - 32)
@@ -1124,23 +1154,53 @@ class FCN8s:
         batch = np.concatenate(tiles, axis=0)  # (n_tiles*n, th, tw, 3)
 
         # one shared executable for every tile; batched in mesh-friendly
-        # chunks with async dispatch (double-buffered D2H)
+        # chunks with async dispatch (double-buffered D2H). Blend mode
+        # consumes each chunk into the weighted accumulator as it lands
+        # (streaming — never holds all tile probability maps at once).
         chunk_size = 8 * self.mesh.shape["data"]
-        outs, pending = [], deque()
+        if blend:
+            margin = max(overlap / 2.0, 1.0)
+            wtile = (self._feather_profile(th, margin)[:, None]
+                     * self._feather_profile(tw, margin)[None, :])
+            acc = np.zeros((n, hp, wp, self.num_classes), np.float32)
+            wsum = np.zeros((hp, wp), np.float32)
+            origins = [(ys, xs) for ys, _, _ in rows for xs, _, _ in cols]
+        else:
+            outs = []
+
+        def consume(dev, k, start):
+            part = np.asarray(dev)[:k]  # D2H sync point
+            if not blend:
+                outs.append(part)
+                return
+            for g in range(part.shape[0]):
+                ti, j = divmod(start + g, n)
+                ys, xs = origins[ti]
+                acc[j, ys : ys + th, xs : xs + tw] += (
+                    part[g].astype(np.float32) * wtile[:, :, None])
+                if j == 0:  # once per tile (identical for every image)
+                    wsum[ys : ys + th, xs : xs + tw] += wtile
+
+        pending = deque()
         for start in range(0, batch.shape[0], chunk_size):
             part = batch[start : start + chunk_size]
             # pad the tail chunk to the full chunk size: one executable total
             part_p, (pn, _, _) = self._prepare_images(part, pad_batch_to=chunk_size)
-            pending.append((self._dispatch_predict(part_p, argmax, False, ov, quantized,
-                                                   params=params), pn))
+            pending.append((self._dispatch_predict(
+                part_p, argmax and not blend, False, ov, quantized,
+                params=params), pn, start))
             if len(pending) >= 2:
-                d, k = pending.popleft()
-                outs.append(np.asarray(d)[:k])
+                consume(*pending.popleft())
         while pending:
-            d, k = pending.popleft()
-            outs.append(np.asarray(d)[:k])
-        out_tiles = np.concatenate(outs, axis=0)
+            consume(*pending.popleft())
 
+        if blend:
+            probs = acc / wsum[None, :, :, None]
+            out = (np.argmax(probs, axis=-1).astype(np.int32) if argmax
+                   else probs)
+            return out[:, :h, :w]
+
+        out_tiles = np.concatenate(outs, axis=0)
         out_shape = (n, hp, wp) + out_tiles.shape[3:]
         out = np.zeros(out_shape, out_tiles.dtype)
         i = 0
@@ -1170,6 +1230,7 @@ class FCN8s:
         on_device_overlay=True,
         tile=None,
         tile_overlap=128,
+        tile_blend=False,
         output_format="overlay",
         id_map=None,
         use_ema=False,
@@ -1191,6 +1252,10 @@ class FCN8s:
         ``predict``) — for mega-resolution directories (e.g. raw 1024×2048
         Cityscapes) where a whole-image graph would blow past compile or
         HBM limits; one fixed-shape executable serves every image size.
+        ``tile_blend=True`` adds feathered probability blending at tile
+        seams (see ``predict``); it forces the host-side compositor
+        (ids blend before any overlay), so ``on_device_overlay`` is
+        ignored in that combination.
 
         Measured on the axon v5e tunnel @8×1024×512: overlay compute is
         ~55 ms but its 12.6 MB RGB D2H costs ~719 ms vs 146 ms for the
@@ -1246,7 +1311,9 @@ class FCN8s:
         else:
             if color_map is None:
                 raise ValueError("color_map is required for output_format='overlay'")
-            ov = self._overlay_lut(color_map) if on_device_overlay else None
+            ov = (self._overlay_lut(color_map)
+                  if on_device_overlay and not (tile is not None and tile_blend)
+                  else None)
         id_lut = np.asarray(id_map) if id_map is not None else None
         tr = trange(len(image_paths), file=sys.stdout)
         tr.set_description("Processing images")
@@ -1339,7 +1406,8 @@ class FCN8s:
                     # synchronous per chunk (see ``predict(tile=...)``)
                     dev, n = (
                         self._predict_tiled(images_host, True, ov, False,
-                                            tile, tile_overlap, params=ema),
+                                            tile, tile_overlap, params=ema,
+                                            blend=tile_blend),
                         images_host.shape[0],
                     )
                 else:

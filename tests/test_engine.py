@@ -281,6 +281,24 @@ def test_predict_and_save_tiled(trained_model, tmp_path):
     b = np.asarray(Image.open(os.path.join(out_b, "img_0.png")))
     assert a.shape == b.shape
     assert (a == b).mean() > 0.5  # small tiles on a tiny model: seams differ
+    # blended variant (forces the host compositor) produces same-shape output
+    out_c = str(tmp_path / "blended")
+    model.predict_and_save(out_c, str(img_dir), cmap,
+                           tile=(32, 32), tile_overlap=16, tile_blend=True)
+    c = np.asarray(Image.open(os.path.join(out_c, "img_0.png")))
+    assert c.shape == a.shape
+
+
+def test_feather_profile():
+    """Blend weights: strictly positive, symmetric, flat 1.0 outside the
+    ramp margin, linear inside."""
+    w = FCN8s._feather_profile(64, 16.0)
+    assert w.shape == (64,)
+    assert (w > 0).all() and w.max() == 1.0
+    np.testing.assert_allclose(w, w[::-1])  # symmetric
+    assert (w[16:48] == 1.0).all()  # interior flat
+    np.testing.assert_allclose(w[0], 0.5 / 16)  # pixel-center ramp start
+    np.testing.assert_allclose(w[:16], (np.arange(16) + 0.5) / 16)
 
 
 def test_on_device_overlay_matches_host(trained_model):
@@ -484,6 +502,30 @@ def test_predict_tiled_matches_full_on_local_task():
         model.predict(images, tile=(60, 64))
     with pytest.raises(ValueError, match="tile_overlap"):
         model.predict(images, tile=(64, 64), tile_overlap=31)
+
+    # --- feathered blending ---
+    blended = model.predict(images, tile=(64, 64), tile_overlap=32,
+                            tile_blend=True)
+    assert blended.shape == full.shape
+    # blending never agrees with the full run meaningfully worse than the
+    # hard core-paste does
+    assert (blended == full).mean() >= (tiled == full).mean() - 0.02
+    bprobs = model.predict(images, tile=(64, 64), tile_overlap=32,
+                           tile_blend=True, argmax=False)
+    # convex combination of softmaxes still sums to 1
+    np.testing.assert_allclose(np.asarray(bprobs).sum(-1), 1.0, atol=1e-3)
+    # single tile covering the whole (padded) image: blending must equal
+    # the hard paste exactly (one contribution, normalized by itself)
+    hard1 = model.predict(images[:, :32, :48], tile=(64, 64), argmax=False)
+    soft1 = model.predict(images[:, :32, :48], tile=(64, 64),
+                          tile_blend=True, argmax=False)
+    np.testing.assert_allclose(soft1, hard1, atol=1e-5)
+    with pytest.raises(ValueError, match="tile_blend requires"):
+        model.predict(images, tile_blend=True)
+    with pytest.raises(ValueError, match="composites probabilities"):
+        model.predict(images, tile=(64, 64), tile_blend=True,
+                      overlay={0: (255, 0, 0, 127), 1: (0, 255, 0, 127),
+                               2: (0, 0, 255, 127)})
     model.close()
 
 
