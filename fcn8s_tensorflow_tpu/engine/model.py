@@ -24,6 +24,7 @@ TPU-native internals:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -528,6 +529,8 @@ class FCN8s:
         spatial_partition=False,
         ema_decay=None,
         class_weights=None,
+        early_stopping=None,
+        train_log=None,
     ):
         """Train the model. Argument semantics follow the reference
         (`fcn8s_tensorflow.py:399-523`): the generator yields (images,
@@ -585,6 +588,20 @@ class FCN8s:
         standard median-frequency-balanced vector from per-class pixel
         counts. Baked into the executable as constants; persists for
         subsequent ``evaluate`` calls so eval loss matches training loss.
+
+        ``early_stopping`` (beyond the reference): an int patience, or a
+        dict ``{"patience": int, "min_delta": float}``. Training stops
+        once the ``monitor``-ed value has gone ``patience`` consecutive
+        *observations* without improving by more than ``min_delta``
+        (default 0). An observation is each epoch's training loss when
+        ``monitor='loss'`` and loss isn't among the eval ``metrics``;
+        otherwise each periodic evaluation (every ``eval_frequency``
+        epochs) — epochs with no measurement don't consume patience.
+
+        ``train_log``: path to a JSONL file; appends one record per epoch
+        (epoch, global_step, training_loss, learning_rate, any measured
+        eval metrics, wall-clock time) — a grep/pandas-friendly sidecar to
+        the TensorBoard streams.
         """
         # --- validation (reference `:511-529`) ---
         metrics = set(metrics)  # the reference's default `{}` is a dict literal
@@ -602,6 +619,20 @@ class FCN8s:
             raise ValueError(f"monitor '{monitor}' requires it to be in metrics {metrics}")
         if ema_decay is not None and not (0.0 < float(ema_decay) < 1.0):
             raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+        if early_stopping is not None:
+            es = (dict(early_stopping) if isinstance(early_stopping, dict)
+                  else {"patience": early_stopping})
+            es_patience = int(es.pop("patience"))
+            es_min_delta = float(es.pop("min_delta", 0.0))
+            if es:
+                raise ValueError(f"unknown early_stopping keys: {sorted(es)}")
+            if es_patience < 1:
+                raise ValueError(f"early_stopping patience must be >= 1, got {es_patience}")
+            if monitor != "loss" and not (metrics and eval_frequency):
+                raise ValueError(
+                    "early_stopping on an eval metric requires metrics and "
+                    "eval_frequency so the monitor is ever measured")
+            es_best, es_stale = None, 0
 
         if class_weights is not None:
             cw = tuple(float(w) for w in np.asarray(class_weights).reshape(-1))
@@ -656,6 +687,8 @@ class FCN8s:
         # Background input pipeline: host decode/pad + device_put ahead of
         # the step, so H2D overlaps compute (see `prefetch` in the docstring).
         train_stream = self._make_train_stream(train_generator, prefetch)
+
+        log_f = open(train_log, "a") if train_log else None
 
         for epoch in range(1, epochs + 1):
             tr = trange(steps_per_epoch, file=sys.stdout)
@@ -742,6 +775,51 @@ class FCN8s:
                     elif self.metric_values[i] > self.best_metric_values[i]:
                         self.best_metric_values[i] = self.metric_values[i]
 
+            evaluated = bool(metrics and eval_frequency
+                             and epoch % eval_frequency == 0
+                             and self.metric_values)
+
+            if log_f is not None:
+                record = {
+                    "epoch": epoch,
+                    "global_step": g_step,
+                    "training_loss": self.training_loss,
+                    "learning_rate": float(learning_rate),
+                    "time": time.time(),
+                }
+                if evaluated:
+                    record.update(
+                        {f"eval_{n}": float(v) for n, v in
+                         zip(self.metric_names, self.metric_values)})
+                log_f.write(json.dumps(record) + "\n")
+                log_f.flush()
+
+            # --- early stopping (beyond the reference; see docstring) ---
+            if early_stopping is not None:
+                if monitor == "loss" and "loss" not in self.metric_names:
+                    obs = self.training_loss
+                elif evaluated:
+                    obs = float(
+                        self.metric_values[self.metric_names.index(monitor)])
+                else:
+                    obs = None  # monitor not measured this epoch
+                if obs is not None:
+                    better = (es_best is None
+                              or (obs < es_best - es_min_delta
+                                  if monitor == "loss"
+                                  else obs > es_best + es_min_delta))
+                    if better:
+                        es_best, es_stale = obs, 0
+                    else:
+                        es_stale += 1
+                        if es_stale >= es_patience:
+                            print(f"Early stopping: '{monitor}' has not "
+                                  f"improved in {es_stale} observations "
+                                  f"(best {es_best:.6f}).")
+                            break
+
+        if log_f is not None:
+            log_f.close()
         if logger is not None:
             logger.flush()
         self._close_train_stream()

@@ -665,3 +665,80 @@ def test_monitor_first_save_wins(trained_model):
         assert model._monitor_improved("accuracy", {"mean_iou"}, 1, 1)
     finally:
         model.metric_names, model.metric_values, model.best_metric_values = names, values, best
+
+
+# ---------------------------------------------------------------------------
+# early stopping + JSONL train log
+# ---------------------------------------------------------------------------
+def test_early_stopping_on_training_loss():
+    """lr=0 makes every epoch's loss identical: the first observation sets
+    the best, each later epoch is stale, and patience=2 stops after epoch 3
+    of 10."""
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch()
+    model.train(train_generator=_repeat_batches(images, labels), epochs=10,
+                steps_per_epoch=2, learning_rate_schedule=constant(0.0),
+                keep_prob=1.0, record_summaries=False, eval_frequency=None,
+                early_stopping=2)
+    assert int(model.state.step) == 3 * 2
+    model.close()
+
+
+def test_early_stopping_eval_metric_and_min_delta():
+    """monitor='mean_iou' with eval every epoch; lr=0 freezes the metric so
+    patience=1 stops at the second evaluation. min_delta folded in via the
+    dict form."""
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch()
+    model.train(train_generator=_repeat_batches(images, labels), epochs=10,
+                steps_per_epoch=2, learning_rate_schedule=constant(0.0),
+                keep_prob=1.0, record_summaries=False,
+                metrics={"mean_iou"}, monitor="mean_iou", eval_frequency=1,
+                eval_dataset="train",
+                early_stopping={"patience": 1, "min_delta": 0.5})
+    assert int(model.state.step) == 2 * 2
+    model.close()
+
+
+def test_early_stopping_validation():
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch()
+    common = dict(train_generator=_repeat_batches(images, labels), epochs=1,
+                  steps_per_epoch=1, learning_rate_schedule=constant(0.0),
+                  record_summaries=False, eval_frequency=None)
+    with pytest.raises(ValueError, match="patience must be >= 1"):
+        model.train(early_stopping=0, **common)
+    with pytest.raises(ValueError, match="unknown early_stopping keys"):
+        model.train(early_stopping={"patience": 2, "typo": 1}, **common)
+    with pytest.raises(ValueError, match="requires metrics"):
+        model.train(early_stopping=2, monitor="mean_iou",
+                    metrics={"mean_iou"}, **common)
+    model.close()
+
+
+def test_train_log_jsonl(tmp_path):
+    import json
+
+    log_path = str(tmp_path / "train_log.jsonl")
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch()
+    model.train(train_generator=_repeat_batches(images, labels), epochs=3,
+                steps_per_epoch=2, learning_rate_schedule=constant(1e-3),
+                keep_prob=1.0, record_summaries=False,
+                metrics={"loss"}, eval_frequency=2, eval_dataset="train",
+                train_log=log_path)
+    records = [json.loads(line) for line in open(log_path)]
+    assert [r["epoch"] for r in records] == [1, 2, 3]
+    assert [r["global_step"] for r in records] == [2, 4, 6]
+    for r in records:
+        assert np.isfinite(r["training_loss"]) and r["learning_rate"] == 1e-3
+    # eval metrics recorded only on the eval epoch
+    assert "eval_loss" in records[1] and "eval_loss" not in records[0]
+    # append semantics: a second train call extends the same file
+    model.train(train_generator=_repeat_batches(images, labels), epochs=1,
+                steps_per_epoch=2, learning_rate_schedule=constant(1e-3),
+                keep_prob=1.0, record_summaries=False, eval_frequency=None,
+                train_log=log_path)
+    records = [json.loads(line) for line in open(log_path)]
+    assert len(records) == 4 and records[-1]["global_step"] == 8
+    model.close()
