@@ -530,6 +530,7 @@ class FCN8s:
         ema_decay=None,
         class_weights=None,
         early_stopping=None,
+        reduce_lr_on_plateau=None,
         train_log=None,
     ):
         """Train the model. Argument semantics follow the reference
@@ -598,6 +599,17 @@ class FCN8s:
         otherwise each periodic evaluation (every ``eval_frequency``
         epochs) — epochs with no measurement don't consume patience.
 
+        ``reduce_lr_on_plateau`` (beyond the reference): an int patience or
+        a dict ``{"patience": int, "factor": float (default 0.1),
+        "min_delta": float (default 0), "min_lr": float (default 0)}``.
+        Whenever the monitored value stalls for ``patience`` observations
+        (same observation cadence as ``early_stopping``), the learning
+        rate from ``learning_rate_schedule`` is scaled by an extra
+        cumulative ``factor`` (never below ``min_lr``) — the standard
+        plateau annealer, composing multiplicatively with whatever
+        schedule is supplied. Each reduction resets the stall counter.
+        Composes with ``early_stopping`` (independent counters).
+
         ``train_log``: path to a JSONL file; appends one record per epoch
         (epoch, global_step, training_loss, learning_rate, any measured
         eval metrics, wall-clock time) — a grep/pandas-friendly sidecar to
@@ -633,6 +645,28 @@ class FCN8s:
                     "early_stopping on an eval metric requires metrics and "
                     "eval_frequency so the monitor is ever measured")
             es_best, es_stale = None, 0
+        if reduce_lr_on_plateau is not None:
+            rp = (dict(reduce_lr_on_plateau)
+                  if isinstance(reduce_lr_on_plateau, dict)
+                  else {"patience": reduce_lr_on_plateau})
+            rp_patience = int(rp.pop("patience"))
+            rp_factor = float(rp.pop("factor", 0.1))
+            rp_min_delta = float(rp.pop("min_delta", 0.0))
+            rp_min_lr = float(rp.pop("min_lr", 0.0))
+            if rp:
+                raise ValueError(f"unknown reduce_lr_on_plateau keys: {sorted(rp)}")
+            if rp_patience < 1:
+                raise ValueError(
+                    f"reduce_lr_on_plateau patience must be >= 1, got {rp_patience}")
+            if not 0.0 < rp_factor < 1.0:
+                raise ValueError(
+                    f"reduce_lr_on_plateau factor must be in (0, 1), got {rp_factor}")
+            if monitor != "loss" and not (metrics and eval_frequency):
+                raise ValueError(
+                    "reduce_lr_on_plateau on an eval metric requires metrics "
+                    "and eval_frequency so the monitor is ever measured")
+            rp_best, rp_stale = None, 0
+        lr_scale = 1.0  # cumulative plateau factor; 1.0 when disabled
 
         if class_weights is not None:
             cw = tuple(float(w) for w in np.asarray(class_weights).reshape(-1))
@@ -681,7 +715,13 @@ class FCN8s:
             self._summary_logger = logger
 
         g_step = int(self.state.step)  # resume from checkpointed global step
-        learning_rate = learning_rate_schedule(g_step)
+
+        def _lr(step):
+            lr = float(learning_rate_schedule(step)) * lr_scale
+            return (max(lr, rp_min_lr)
+                    if reduce_lr_on_plateau is not None else lr)
+
+        learning_rate = _lr(g_step)
         loss_history = deque(maxlen=training_loss_display_averaging)
 
         # Background input pipeline: host decode/pad + device_put ahead of
@@ -720,7 +760,7 @@ class FCN8s:
                     if logger is not None and g_step % summaries_frequency == 0:
                         logger.log_training_step(g_step, float(vals[-1]), learning_rate)
 
-                learning_rate = learning_rate_schedule(g_step)
+                learning_rate = _lr(g_step)
 
             self.g_step = g_step
 
@@ -794,8 +834,8 @@ class FCN8s:
                 log_f.write(json.dumps(record) + "\n")
                 log_f.flush()
 
-            # --- early stopping (beyond the reference; see docstring) ---
-            if early_stopping is not None:
+            # --- LR plateau + early stopping (beyond the reference) ---
+            if early_stopping is not None or reduce_lr_on_plateau is not None:
                 if monitor == "loss" and "loss" not in self.metric_names:
                     obs = self.training_loss
                 elif evaluated:
@@ -803,12 +843,26 @@ class FCN8s:
                         self.metric_values[self.metric_names.index(monitor)])
                 else:
                     obs = None  # monitor not measured this epoch
-                if obs is not None:
-                    better = (es_best is None
-                              or (obs < es_best - es_min_delta
-                                  if monitor == "loss"
-                                  else obs > es_best + es_min_delta))
-                    if better:
+
+                def _improved(best, delta):
+                    return (best is None
+                            or (obs < best - delta if monitor == "loss"
+                                else obs > best + delta))
+
+                if obs is not None and reduce_lr_on_plateau is not None:
+                    if _improved(rp_best, rp_min_delta):
+                        rp_best, rp_stale = obs, 0
+                    else:
+                        rp_stale += 1
+                        if rp_stale >= rp_patience:
+                            lr_scale *= rp_factor
+                            rp_stale = 0
+                            learning_rate = _lr(g_step)
+                            print(f"Plateau: '{monitor}' stalled "
+                                  f"{rp_patience} observations — learning "
+                                  f"rate scaled to {learning_rate:.3e}.")
+                if obs is not None and early_stopping is not None:
+                    if _improved(es_best, es_min_delta):
                         es_best, es_stale = obs, 0
                     else:
                         es_stale += 1

@@ -742,3 +742,45 @@ def test_train_log_jsonl(tmp_path):
     records = [json.loads(line) for line in open(log_path)]
     assert len(records) == 4 and records[-1]["global_step"] == 8
     model.close()
+
+
+def test_reduce_lr_on_plateau(tmp_path):
+    """min_delta=10 makes every observation 'stale': patience=2/factor=0.5
+    halves the LR after epochs 3 and 5; the train log pins the exact
+    per-epoch LR sequence."""
+    import json
+
+    log_path = str(tmp_path / "log.jsonl")
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch()
+    model.train(train_generator=_repeat_batches(images, labels), epochs=6,
+                steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+                keep_prob=1.0, record_summaries=False, eval_frequency=None,
+                reduce_lr_on_plateau={"patience": 2, "factor": 0.5,
+                                      "min_delta": 10.0},
+                train_log=log_path)
+    lrs = [json.loads(line)["learning_rate"] for line in open(log_path)]
+    np.testing.assert_allclose(lrs, [1e-3, 1e-3, 1e-3, 5e-4, 5e-4, 2.5e-4])
+
+    # min_lr floors the reduction
+    log2 = str(tmp_path / "log2.jsonl")
+    model.train(train_generator=_repeat_batches(images, labels), epochs=4,
+                steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+                keep_prob=1.0, record_summaries=False, eval_frequency=None,
+                reduce_lr_on_plateau={"patience": 1, "factor": 0.5,
+                                      "min_delta": 10.0, "min_lr": 6e-4},
+                train_log=log2)
+    lrs = [json.loads(line)["learning_rate"] for line in open(log2)]
+    np.testing.assert_allclose(lrs, [1e-3, 1e-3, 6e-4, 6e-4])
+
+    with pytest.raises(ValueError, match="factor must be in"):
+        model.train(train_generator=_repeat_batches(images, labels), epochs=1,
+                    steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+                    record_summaries=False, eval_frequency=None,
+                    reduce_lr_on_plateau={"patience": 1, "factor": 1.5})
+    with pytest.raises(ValueError, match="unknown reduce_lr_on_plateau"):
+        model.train(train_generator=_repeat_batches(images, labels), epochs=1,
+                    steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+                    record_summaries=False, eval_frequency=None,
+                    reduce_lr_on_plateau={"patience": 1, "cooldown": 2})
+    model.close()
