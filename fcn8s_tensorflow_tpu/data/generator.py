@@ -221,7 +221,13 @@ class BatchGenerator:
         epoch exactly), then walks ``paths[index::count]``; augmentation
         draws come from a per-host generator seeded by ``(seed, index)``.
         ``shuffle=True`` therefore requires a ``seed``: unseeded hosts
-        would draw different permutations and the shards would overlap."""
+        would draw different permutations and the shards would overlap.
+        When the dataset size doesn't divide ``count``, short slices pad
+        by wrapping within themselves to the common epoch length
+        ``ceil(n/count)`` (the torch ``DistributedSampler`` convention) —
+        every host wraps and reshuffles at the same iteration, so the
+        lockstep permutations survive uneven splits; a host duplicates at
+        most one of its own images per epoch and shards stay disjoint."""
         if (convert_to_one_hot or convert_colors_to_ids is not False or convert_ids_to_ids is not False) and not self.ground_truth:
             raise ValueError("Cannot convert ground truth data: No ground truth data given.")
         if convert_to_one_hot and self.num_classes is None:
@@ -257,10 +263,24 @@ class BatchGenerator:
             return _pool[0]
 
         image_paths = list(self.image_paths)
+        if shard is not None and len(image_paths) < shard_count:
+            raise DataError(
+                f"shard count {shard_count} exceeds the dataset size "
+                f"{len(image_paths)}: some hosts would have no data")
+
+        def local_slice():
+            """This host's slice, padded by wrapping within itself to the
+            common per-host epoch length ceil(n/count): ALL hosts then hit
+            the epoch boundary (and reshuffle) at the same iteration, so
+            the shared shuffle stream stays in lockstep even when the
+            dataset size doesn't divide the shard count."""
+            sl = image_paths[shard_index::shard_count]
+            epoch_len = -(-len(image_paths) // shard_count)
+            return sl + sl[: epoch_len - len(sl)]
+
         if shuffle:
             shuffle_rng.shuffle(image_paths)
-        local_paths = (image_paths[shard_index::shard_count]
-                       if shard is not None else image_paths)
+        local_paths = local_slice() if shard is not None else image_paths
         current = 0
 
         # try/finally (not only GeneratorExit): a raising process_one
@@ -274,7 +294,7 @@ class BatchGenerator:
                     if shuffle:
                         shuffle_rng.shuffle(image_paths)
                         if shard is not None:
-                            local_paths = image_paths[shard_index::shard_count]
+                            local_paths = local_slice()
                     current = 0
 
                 def process_one(image_path, prng):

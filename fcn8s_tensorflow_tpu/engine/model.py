@@ -161,6 +161,13 @@ class FCN8s:
                     "combined with it (use variables_load_dir to load "
                     "weights into a freshly-configured model instead)")
             optimizer = cfg.get("optimizer", "adam")
+            if optimizer == "custom":
+                raise ValueError(
+                    "this checkpoint was trained with a user-supplied "
+                    "GradientTransformation, which cannot be rebuilt from "
+                    "config; construct FCN8s(num_classes=..., optimizer=<your "
+                    "transformation>, variables_load_dir=...) to restore the "
+                    "weights into it instead")
             optimizer_kwargs = cfg.get("optimizer_kwargs")
             clip_norm = cfg.get("clip_norm")
 
@@ -605,10 +612,12 @@ class FCN8s:
         Whenever the monitored value stalls for ``patience`` observations
         (same observation cadence as ``early_stopping``), the learning
         rate from ``learning_rate_schedule`` is scaled by an extra
-        cumulative ``factor`` (never below ``min_lr``) — the standard
-        plateau annealer, composing multiplicatively with whatever
-        schedule is supplied. Each reduction resets the stall counter.
-        Composes with ``early_stopping`` (independent counters).
+        cumulative ``factor`` — the standard plateau annealer, composing
+        multiplicatively with whatever schedule is supplied. ``min_lr``
+        bounds the value *immediately after a reduction* (a reduction
+        never takes the current LR below it); the base schedule itself is
+        never floored. Each reduction resets the stall counter. Composes
+        with ``early_stopping`` (independent counters).
 
         ``train_log``: path to a JSONL file; appends one record per epoch
         (epoch, global_step, training_loss, learning_rate, any measured
@@ -717,9 +726,7 @@ class FCN8s:
         g_step = int(self.state.step)  # resume from checkpointed global step
 
         def _lr(step):
-            lr = float(learning_rate_schedule(step)) * lr_scale
-            return (max(lr, rp_min_lr)
-                    if reduce_lr_on_plateau is not None else lr)
+            return float(learning_rate_schedule(step)) * lr_scale
 
         learning_rate = _lr(g_step)
         loss_history = deque(maxlen=training_loss_display_averaging)
@@ -727,8 +734,6 @@ class FCN8s:
         # Background input pipeline: host decode/pad + device_put ahead of
         # the step, so H2D overlaps compute (see `prefetch` in the docstring).
         train_stream = self._make_train_stream(train_generator, prefetch)
-
-        log_f = open(train_log, "a") if train_log else None
 
         for epoch in range(1, epochs + 1):
             tr = trange(steps_per_epoch, file=sys.stdout)
@@ -819,7 +824,7 @@ class FCN8s:
                              and epoch % eval_frequency == 0
                              and self.metric_values)
 
-            if log_f is not None:
+            if train_log:
                 record = {
                     "epoch": epoch,
                     "global_step": g_step,
@@ -831,8 +836,10 @@ class FCN8s:
                     record.update(
                         {f"eval_{n}": float(v) for n, v in
                          zip(self.metric_names, self.metric_values)})
-                log_f.write(json.dumps(record) + "\n")
-                log_f.flush()
+                # short-lived append per epoch: crash/interrupt-safe (no
+                # handle outlives the loop) and each record is durable
+                with open(train_log, "a") as log_f:
+                    log_f.write(json.dumps(record) + "\n")
 
             # --- LR plateau + early stopping (beyond the reference) ---
             if early_stopping is not None or reduce_lr_on_plateau is not None:
@@ -855,7 +862,14 @@ class FCN8s:
                     else:
                         rp_stale += 1
                         if rp_stale >= rp_patience:
-                            lr_scale *= rp_factor
+                            new_scale = lr_scale * rp_factor
+                            base = float(learning_rate_schedule(g_step))
+                            # min_lr bounds the REDUCED value only (Keras
+                            # semantics): the base schedule is untouched,
+                            # and a reduction never raises the scale
+                            if base > 0.0 and base * new_scale < rp_min_lr:
+                                new_scale = min(rp_min_lr / base, lr_scale)
+                            lr_scale = new_scale
                             rp_stale = 0
                             learning_rate = _lr(g_step)
                             print(f"Plateau: '{monitor}' stalled "
@@ -872,8 +886,6 @@ class FCN8s:
                                   f"(best {es_best:.6f}).")
                             break
 
-        if log_f is not None:
-            log_f.close()
         if logger is not None:
             logger.flush()
         self._close_train_stream()
@@ -1434,6 +1446,8 @@ class FCN8s:
                     w, h = im.size
                 groups.setdefault((h, w), []).append(p)
 
+        if tile_blend and tile is None:
+            raise ValueError("tile_blend requires tile=(th, tw)")
         if output_format not in ("overlay", "ids"):
             raise ValueError(f"output_format must be 'overlay' or 'ids', got {output_format!r}")
         if output_format == "ids":

@@ -118,6 +118,14 @@ def make_optimizer(name: str = "adam", clip_norm: float | None = None,
     name = name.lower()
     if name not in OPTIMIZERS:
         raise ValueError(f"unknown optimizer '{name}'; one of {OPTIMIZERS}")
+    allowed = {"adam": {"b1", "b2", "eps"},
+               "adamw": {"b1", "b2", "eps", "weight_decay"},
+               "momentum": {"momentum", "nesterov"},
+               "sgd": set()}[name]
+    if not set(hyper) <= allowed:
+        raise ValueError(
+            f"unknown kwargs for optimizer '{name}': "
+            f"{sorted(set(hyper) - allowed)} (accepted: {sorted(allowed)})")
 
     def factory(learning_rate):
         chain = []

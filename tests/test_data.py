@@ -406,3 +406,38 @@ def test_shard_unsharded_stream_unchanged(cityscapes_tree):
     b = next(gen.generate(batch_size=6, convert_to_one_hot=False, shuffle=True,
                           seed=3, brightness=(0.5, 1.5, 0.5)))
     np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_shard_uneven_split_stays_lockstep(cityscapes_tree):
+    """6 images over 4 hosts: epoch_len=ceil(6/4)=2, hosts 2/3 pad by
+    wrapping within their own slice. All hosts must reshuffle at the same
+    iteration (lockstep permutations survive the uneven split), shards
+    stay disjoint every epoch, and each epoch covers all 6 images."""
+    gen = _make_gen(cityscapes_tree)
+    ident = _identity_map(cityscapes_tree)
+    per_host = {}
+    for idx in range(4):
+        it = gen.generate(batch_size=1, convert_to_one_hot=False, shuffle=True,
+                          seed=5, shard=(idx, 4), flip=0.5)
+        stems = []
+        for _ in range(6):  # 3 epochs x 2 images/host
+            images, _ = next(it)
+            im = images[0]
+            key = im.tobytes()
+            if key not in ident:
+                key = im[:, ::-1].tobytes()
+            stems.append(ident[key])
+        per_host[idx] = [stems[0:2], stems[2:4], stems[4:6]]
+    for e in range(3):
+        uniq = [set(per_host[i][e]) for i in range(4)]
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert not uniq[a] & uniq[b], f"epoch {e}: hosts {a},{b} overlap"
+        assert len(set().union(*uniq)) == 6, f"epoch {e} incomplete"
+
+
+def test_shard_count_exceeding_dataset_raises(cityscapes_tree):
+    gen = _make_gen(cityscapes_tree)
+    with pytest.raises(DataError, match="exceeds the dataset size"):
+        next(gen.generate(batch_size=1, convert_to_one_hot=False,
+                          shuffle=False, shard=(0, 7)))

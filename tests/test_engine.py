@@ -784,3 +784,33 @@ def test_reduce_lr_on_plateau(tmp_path):
                     record_summaries=False, eval_frequency=None,
                     reduce_lr_on_plateau={"patience": 1, "cooldown": 2})
     model.close()
+
+
+def test_plateau_min_lr_does_not_floor_base_schedule(tmp_path):
+    """Keras semantics: min_lr bounds reductions only — a base schedule
+    already below min_lr must pass through untouched when no reduction
+    has fired."""
+    import json
+
+    log_path = str(tmp_path / "log.jsonl")
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch()
+    model.train(train_generator=_repeat_batches(images, labels), epochs=2,
+                steps_per_epoch=1, learning_rate_schedule=constant(1e-6),
+                keep_prob=1.0, record_summaries=False, eval_frequency=None,
+                reduce_lr_on_plateau={"patience": 10, "min_lr": 1e-4},
+                train_log=log_path)
+    lrs = [json.loads(line)["learning_rate"] for line in open(log_path)]
+    np.testing.assert_allclose(lrs, [1e-6, 1e-6])
+    model.close()
+
+
+def test_predict_and_save_tile_blend_requires_tile(trained_model, tmp_path):
+    model, images, _ = trained_model
+    img_dir = tmp_path / "in2"
+    img_dir.mkdir()
+    Image.fromarray(images[0]).save(img_dir / "img_0.png")
+    cmap = {0: (255, 0, 0, 127), 1: (0, 255, 0, 127), 2: (0, 0, 255, 127)}
+    with pytest.raises(ValueError, match="tile_blend requires"):
+        model.predict_and_save(str(tmp_path / "o"), str(img_dir), cmap,
+                               tile_blend=True)

@@ -140,3 +140,36 @@ def test_facade_custom_transformation():
                 keep_prob=1.0, record_summaries=False, eval_frequency=None)
     assert np.isfinite(model.training_loss)
     assert model.model_config["optimizer"] == "custom"
+
+
+def test_unknown_hyper_kwargs_raise():
+    """Wrong-variant or typo'd optimizer kwargs must fail loudly, not
+    train silently with defaults."""
+    with pytest.raises(ValueError, match="unknown kwargs"):
+        make_optimizer("momentum", weight_decay=5e-4)
+    with pytest.raises(ValueError, match="unknown kwargs"):
+        make_optimizer("adam", momentm=0.9)
+    with pytest.raises(ValueError, match="unknown kwargs"):
+        make_optimizer("sgd", b1=0.9)
+
+
+def test_custom_optimizer_checkpoint_load_rejected(tmp_path):
+    """model_load_dir cannot rebuild a user-supplied transformation; the
+    error must point at the variables_load_dir escape hatch."""
+    from fcn8s_tensorflow_tpu.engine import checkpoint as ckpt
+
+    custom = optax.inject_hyperparams(
+        lambda learning_rate: optax.sgd(learning_rate))(learning_rate=1e-4)
+    model = FCN8s(num_classes=NUM_CLASSES, optimizer=custom, **TINY)
+    images, labels = _toy_batch()
+    model.train(train_generator=_repeat(images, labels), epochs=1,
+                steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+                keep_prob=1.0, record_summaries=False, eval_frequency=None)
+    model.save(str(tmp_path / "ckpt"))
+    path = ckpt.latest_checkpoint(str(tmp_path / "ckpt"))
+    with pytest.raises(ValueError, match="variables_load_dir"):
+        FCN8s(model_load_dir=path)
+    # the escape hatch works: fresh model + custom optimizer + weights
+    m2 = FCN8s(num_classes=NUM_CLASSES, optimizer=custom,
+               variables_load_dir=path, **TINY)
+    np.testing.assert_array_equal(m2.predict(images), model.predict(images))
