@@ -303,6 +303,89 @@ def grayscale(images):
     return y.astype(images.dtype)[..., None]
 
 
+def _gray601(rgb_f32):
+    """Per-pixel Rec.601 luminance, float (the weights cv2/torchvision use
+    for photometric blending)."""
+    return (rgb_f32[..., 0] * 0.299 + rgb_f32[..., 1] * 0.587
+            + rgb_f32[..., 2] * 0.114)
+
+
+def _photometric_draw(rng, n, lo, hi, prob, identity):
+    """(apply?, factor) draws shared by the photometric extras: factor ~
+    U(lo, hi) per sample, ``identity`` where the transform doesn't fire."""
+    k1, k2 = jax.random.split(rng)
+    apply = jax.random.uniform(k1, (n,)) >= (1.0 - prob)
+    f = jax.random.uniform(k2, (n,), minval=lo, maxval=hi)
+    return jnp.where(apply, f, identity)
+
+
+def random_contrast(rng, images, lo: float, hi: float, prob: float):
+    """Per-sample contrast by f ~ U(lo, hi): blend toward the per-image
+    grayscale mean, ``out = round(mean + f*(x - mean))`` — torchvision
+    ``adjust_contrast`` semantics (beyond the reference's transform set)."""
+    f = _photometric_draw(rng, images.shape[0], lo, hi, prob, 1.0)
+    rgb = images.astype(jnp.float32)
+    mean = jnp.mean(_gray601(rgb), axis=(1, 2))[:, None, None, None]
+    out = mean + f[:, None, None, None] * (rgb - mean)
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(images.dtype)
+
+
+def random_saturation(rng, images, lo: float, hi: float, prob: float):
+    """Per-sample saturation by f ~ U(lo, hi): blend toward the per-PIXEL
+    grayscale, ``out = round(gray + f*(x - gray))`` — torchvision
+    ``adjust_saturation`` semantics (beyond the reference)."""
+    f = _photometric_draw(rng, images.shape[0], lo, hi, prob, 1.0)
+    rgb = images.astype(jnp.float32)
+    gray = _gray601(rgb)[..., None]
+    out = gray + f[:, None, None, None] * (rgb - gray)
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(images.dtype)
+
+
+def random_gamma(rng, images, lo: float, hi: float, prob: float):
+    """Per-sample gamma by g ~ U(lo, hi): ``out = round(255*(x/255)**g)``
+    (beyond the reference)."""
+    g = _photometric_draw(rng, images.shape[0], lo, hi, prob, 1.0)
+    x = images.astype(jnp.float32) / 255.0
+    out = 255.0 * jnp.power(x, g[:, None, None, None])
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(images.dtype)
+
+
+def random_hue(rng, images, max_delta: float, prob: float):
+    """Per-sample hue rotation by delta ~ U(-max_delta, max_delta) turns
+    (1.0 = full circle) — float-exact HSV round trip with V and S
+    preserved, vectorized on the VPU (beyond the reference; matches a
+    ``colorsys`` rgb_to_hsv -> +delta -> hsv_to_rgb loop to uint8
+    rounding, pinned by tests/test_device_augment.py)."""
+    delta = _photometric_draw(rng, images.shape[0], -max_delta, max_delta,
+                              prob, 0.0)
+    rgb = images.astype(jnp.float32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = mx - mn
+    safe_c = jnp.maximum(c, 1e-12)
+    # hue in sectors [0, 6): r-major, then g-major, then b-major (colorsys
+    # tie priority)
+    h = jnp.where(
+        c == 0.0, 0.0,
+        jnp.where(mx == r, jnp.mod((g - b) / safe_c, 6.0),
+                  jnp.where(mx == g, (b - r) / safe_c + 2.0,
+                            (r - g) / safe_c + 4.0)))
+    h = jnp.mod(h + delta[:, None, None] * 6.0, 6.0)
+    # back to RGB with the same V (= mx) and chroma
+    x = c * (1.0 - jnp.abs(jnp.mod(h, 2.0) - 1.0))
+    sector = jnp.floor(h).astype(jnp.int32)
+    zeros = jnp.zeros_like(c)
+    r1 = jnp.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                     sector == 4], [c, x, zeros, zeros, x], c)
+    g1 = jnp.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                     sector == 4], [x, c, c, x, zeros], zeros)
+    b1 = jnp.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                     sector == 4], [zeros, zeros, x, c, c], x)
+    out = jnp.stack([r1, g1, b1], axis=-1) + mn[..., None]
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(images.dtype)
+
+
 # module-level alias: make_augment_fn's `resize` parameter (named for API
 # parity with BatchGenerator.generate) shadows the function above
 _resize_batch = resize
@@ -317,6 +400,10 @@ def make_augment_fn(
     resize: tuple | None = None,
     scale: tuple | None = None,
     gray: bool = False,
+    contrast: tuple | None = None,
+    saturation: tuple | None = None,
+    hue: tuple | None = None,
+    gamma: tuple | None = None,
     void_class_id: int = 0,
 ):
     """Compose a jit-safe ``(rng, images, label_ids) -> (images, label_ids)``
@@ -333,15 +420,37 @@ def make_augment_fn(
     * ``scale``: (lo, hi, prob) zoom with void fill / center crop;
     * ``gray``: cv2-exact grayscale (output becomes single-channel — the
       model must be built for 1 input channel, as with the host pipeline).
+
+    Beyond-reference photometric extras (applied after ``brightness``, in
+    this order, before the geometric transforms):
+
+    * ``contrast`` / ``saturation``: (lo, hi, prob) torchvision-semantics
+      blends toward the image-mean / per-pixel grayscale;
+    * ``hue``: (max_delta, prob) hue rotation in turns (S and V exact);
+    * ``gamma``: (lo, hi, prob) power-law ``255*(x/255)**g``.
     """
+    # split count is part of the random stream: stay at the legacy 5 keys
+    # unless a photometric extra is enabled, so existing seeded pipelines
+    # reproduce byte-identically
+    n_keys = 9 if any(o is not None
+                      for o in (contrast, saturation, hue, gamma)) else 5
+
     def augment(rng, images, label_ids):
-        keys = jax.random.split(rng, 5)
+        keys = jax.random.split(rng, n_keys)
         if crop is not None:
             images, label_ids = random_crop(keys[0], images, label_ids, crop[0], crop[1])
         if resize is not None:
             images, label_ids = _resize_batch(images, label_ids, resize)
         if brightness is not None:
             images = random_brightness(keys[1], images, *brightness)
+        if contrast is not None:
+            images = random_contrast(keys[5], images, *contrast)
+        if saturation is not None:
+            images = random_saturation(keys[6], images, *saturation)
+        if hue is not None:
+            images = random_hue(keys[7], images, *hue)
+        if gamma is not None:
+            images = random_gamma(keys[8], images, *gamma)
         if flip is not None:
             images, label_ids = random_horizontal_flip(keys[2], images, label_ids, flip)
         if translate is not None:

@@ -261,3 +261,117 @@ def test_full_pipeline_jits_with_all_transforms(rng):
     fn_gray = aug.make_augment_fn(gray=True)
     g_img, _ = jax.jit(fn_gray)(jax.random.PRNGKey(0), images, labels)
     assert g_img.shape == (4, 40, 40, 1)
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference photometric extras: contrast / saturation / hue / gamma
+# ---------------------------------------------------------------------------
+def _factor_of(key, n, lo, hi):
+    """Replicate _photometric_draw's factor stream for prob=1."""
+    _, k2 = jax.random.split(key)
+    return np.asarray(jax.random.uniform(k2, (n,), minval=lo, maxval=hi))
+
+
+def test_contrast_matches_numpy_reference(rng):
+    images = jnp.asarray(rng.integers(0, 255, (2, 6, 8, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(3)
+    out = np.asarray(aug.random_contrast(key, images, 0.5, 1.5, 1.0))
+    f = _factor_of(key, 2, 0.5, 1.5)
+    x = np.asarray(images, np.float32)
+    gray = x[..., 0] * 0.299 + x[..., 1] * 0.587 + x[..., 2] * 0.114
+    mean = gray.mean(axis=(1, 2))[:, None, None, None]
+    exp = np.clip(np.round(mean + f[:, None, None, None] * (x - mean)), 0, 255)
+    np.testing.assert_array_equal(out, exp.astype(np.uint8))
+
+
+def test_saturation_matches_numpy_reference(rng):
+    images = jnp.asarray(rng.integers(0, 255, (2, 6, 8, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(4)
+    out = np.asarray(aug.random_saturation(key, images, 0.0, 2.0, 1.0))
+    f = _factor_of(key, 2, 0.0, 2.0)
+    x = np.asarray(images, np.float32)
+    gray = (x[..., 0] * 0.299 + x[..., 1] * 0.587 + x[..., 2] * 0.114)[..., None]
+    exp = np.clip(np.round(gray + f[:, None, None, None] * (x - gray)), 0, 255)
+    np.testing.assert_array_equal(out, exp.astype(np.uint8))
+    # saturation 0 == per-pixel grayscale replicated
+    key0 = jax.random.PRNGKey(5)
+    out0 = np.asarray(aug.random_saturation(key0, images, 0.0, 0.0, 1.0))
+    assert (out0[..., 0] == out0[..., 1]).all() and (out0[..., 1] == out0[..., 2]).all()
+
+
+def test_gamma_matches_numpy_reference(rng):
+    images = jnp.asarray(rng.integers(0, 255, (2, 6, 8, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(6)
+    out = np.asarray(aug.random_gamma(key, images, 0.5, 2.0, 1.0))
+    g = _factor_of(key, 2, 0.5, 2.0)
+    x = np.asarray(images, np.float32) / 255.0
+    exp = np.clip(np.round(255.0 * x ** g[:, None, None, None]), 0, 255)
+    # f32 pow rounding at .5 boundaries differs from NumPy's f64 by <=1 LSB
+    assert np.abs(out.astype(np.int32) - exp.astype(np.int32)).max() <= 1
+
+
+def test_hue_matches_colorsys_loop(rng):
+    """Vectorized HSV rotation vs the stdlib colorsys float reference,
+    pixel by pixel (uint8 rounding tolerance of 1)."""
+    import colorsys
+
+    images = jnp.asarray(rng.integers(0, 255, (1, 5, 7, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(7)
+    out = np.asarray(aug.random_hue(key, images, 0.25, 1.0))
+    delta = _factor_of(key, 1, -0.25, 0.25)[0]
+    x = np.asarray(images[0], np.float64) / 255.0
+    exp = np.zeros_like(x)
+    for i in range(x.shape[0]):
+        for j in range(x.shape[1]):
+            h, s, v = colorsys.rgb_to_hsv(*x[i, j])
+            exp[i, j] = colorsys.hsv_to_rgb((h + delta) % 1.0, s, v)
+    exp = np.clip(np.round(exp * 255.0), 0, 255)
+    assert np.abs(out[0].astype(np.int32) - exp.astype(np.int32)).max() <= 1
+
+
+def test_hue_preserves_value_and_gray_pixels(rng):
+    images = jnp.asarray(rng.integers(0, 255, (2, 6, 8, 3), dtype=np.uint8))
+    out = np.asarray(aug.random_hue(jax.random.PRNGKey(8), images, 0.5, 1.0))
+    # V = max(R,G,B) is exactly preserved by hue rotation
+    np.testing.assert_array_equal(out.max(-1), np.asarray(images).max(-1))
+    # gray pixels (zero chroma) are fixed points
+    gray = jnp.asarray(np.full((1, 4, 4, 3), 77, np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(aug.random_hue(jax.random.PRNGKey(9), gray, 0.5, 1.0)), gray)
+
+
+def test_photometric_prob_zero_identity(rng):
+    images = jnp.asarray(rng.integers(0, 255, (2, 6, 8, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(10)
+    for fn, args in [(aug.random_contrast, (0.5, 1.5)),
+                     (aug.random_saturation, (0.0, 2.0)),
+                     (aug.random_gamma, (0.5, 2.0))]:
+        np.testing.assert_array_equal(np.asarray(fn(key, images, *args, 0.0)),
+                                      np.asarray(images))
+    np.testing.assert_array_equal(np.asarray(aug.random_hue(key, images, 0.3, 0.0)),
+                                  np.asarray(images))
+
+
+def test_pipeline_with_photometric_extras_jits(rng):
+    images = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 3, (2, 32, 32), dtype=np.uint8))
+    fn = aug.make_augment_fn(flip=0.5, brightness=(0.8, 1.2, 0.5),
+                             contrast=(0.7, 1.3, 0.5), saturation=(0.5, 1.5, 0.5),
+                             hue=(0.1, 0.5), gamma=(0.7, 1.4, 0.5))
+    out_i, out_l = jax.jit(fn)(jax.random.PRNGKey(0), images, labels)
+    assert out_i.shape == images.shape and out_i.dtype == images.dtype
+    np.testing.assert_array_equal(np.asarray(out_l).shape, labels.shape)
+
+
+def test_legacy_key_stream_unchanged_without_extras(rng):
+    """Adding the photometric options must not shift the random stream of
+    pre-existing pipelines (split count stays 5 when none are enabled)."""
+    images = jnp.asarray(rng.integers(0, 255, (2, 16, 16, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 3, (2, 16, 16), dtype=np.uint8))
+    key = jax.random.PRNGKey(11)
+    fn = aug.make_augment_fn(flip=0.5, brightness=(0.8, 1.2, 0.5))
+    out_i, _ = fn(key, images, labels)
+    keys = jax.random.split(key, 5)
+    exp = aug.random_brightness(keys[1], images, 0.8, 1.2, 0.5)
+    exp, _ = aug.random_horizontal_flip(keys[2], exp, labels, 0.5)
+    np.testing.assert_array_equal(np.asarray(out_i), np.asarray(exp))
