@@ -18,6 +18,15 @@ Predictions run under a lock (one device user at a time — the executables
 are shape-cached, and requests of one size reuse one compiled program);
 decode/encode run concurrently on the request threads.
 
+**Micro-batching** (``batch_window_ms > 0``): concurrent requests queue to
+a dispatcher thread that waits up to the window for more work, groups
+same-shaped images, and runs ONE padded device batch per group — the
+standard server-side batching that converts the device's batch-throughput
+advantage (batch-8 measured 4.8x the img/s of batch-1 on this chip's
+compute path) into request throughput under load, at the cost of up to
+one window of added latency on sparse traffic. The batch pads to
+``max_batch`` so every request size reuses one compiled executable.
+
 Start:  python -m fcn8s_tensorflow_tpu.engine.serving <checkpoint_dir> [port]
 Used by tests/test_serving.py.
 """
@@ -26,9 +35,11 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
 import time
 from collections import deque
+from concurrent.futures import Future
 
 import numpy as np
 from PIL import Image
@@ -39,12 +50,85 @@ class ClientError(ValueError):
     other failure is the server's fault and maps to 500."""
 
 
+class _MicroBatcher:
+    """Server-side request batching (see module docstring): a single
+    dispatcher thread drains the request queue, waits up to ``window`` s
+    for more work, groups by (image shape, overlay?), pads each group to
+    ``max_batch`` (one compiled executable per shape regardless of the
+    arrival count), runs one device dispatch per group, and resolves the
+    requests' futures."""
+
+    def __init__(self, service: "InferenceService", window: float,
+                 max_batch: int):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.service = service
+        self.window = window
+        self.max_batch = max_batch
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, overlay: bool) -> Future:
+        fut: Future = Future()
+        self._q.put((image, overlay, fut))
+        return fut
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.perf_counter() + self.window
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(batch)
+                    return
+                batch.append(nxt)
+            self._flush(batch)
+
+    def _flush(self, batch):
+        groups: dict = {}
+        for image, overlay, fut in batch:
+            groups.setdefault((image.shape, overlay), []).append((image, fut))
+        for (shape, overlay), group in groups.items():
+            images = np.stack([im for im, _ in group])
+            n = images.shape[0]
+            if n < self.max_batch:
+                # pad with the last image: every request count under load
+                # hits the ONE max_batch-shaped executable (a fresh batch
+                # size would otherwise compile a fresh program)
+                pad = np.repeat(images[-1:], self.max_batch - n, axis=0)
+                images = np.concatenate([images, pad], axis=0)
+            try:
+                outs = self.service._predict_batch(images, overlay)
+            except Exception as exc:  # noqa: BLE001 — fail the requests, not the thread
+                for _, fut in group:
+                    fut.set_exception(exc)
+                continue
+            for (_, fut), out in zip(group, outs[:n]):
+                fut.set_result(out)
+
+
 class InferenceService:
     """Wraps an ``FCN8s`` model with the request-level logic (decode,
     predict, encode, stats) — separable from the HTTP layer for tests."""
 
     def __init__(self, model, color_map=None, *, quantized: bool = False,
-                 tile=None, tile_overlap: int = 128):
+                 tile=None, tile_overlap: int = 128,
+                 batch_window_ms: float = 0.0, max_batch: int = 8):
         self.model = model
         self.color_map = color_map
         self.quantized = quantized
@@ -57,6 +141,43 @@ class InferenceService:
         self._latencies: deque[float] = deque(maxlen=1000)  # bounded memory
         self.requests = 0
         self.errors = 0
+        self.dispatches = 0  # device batches actually run
+        self._batcher = (_MicroBatcher(self, batch_window_ms / 1e3, max_batch)
+                         if batch_window_ms > 0 else None)
+
+    def close(self):
+        """Stop the micro-batcher thread (no-op without batching)."""
+        if self._batcher is not None:
+            self._batcher.close()
+
+    def _predict_batch(self, images, overlay: bool):
+        """One device dispatch for a stacked (N,H,W,3) batch; returns the
+        per-image outputs (RGB overlays or id maps). Caller holds no lock —
+        this takes the device lock itself."""
+        if overlay and self.color_map is None:
+            raise ValueError("server built without a color_map")
+        with self._lock:
+            out = self.model.predict(
+                images, overlay=self.color_map if overlay else None,
+                quantized=self.quantized, tile=self.tile,
+                tile_overlap=self.tile_overlap,
+            )
+        with self._stats_lock:
+            self.dispatches += 1
+        return out
+
+    def _encode_png(self, out, overlay: bool) -> bytes:
+        if overlay:
+            mode_img = Image.fromarray(out.astype(np.uint8), mode="RGB")
+        elif self.model.num_classes > 256:
+            # uint8 would silently alias ids >= 256; a 16-bit grayscale
+            # PNG ('I;16') keeps them exact
+            mode_img = Image.fromarray(out.astype(np.uint16))
+        else:
+            mode_img = Image.fromarray(out.astype(np.uint8), mode="L")
+        buf = io.BytesIO()
+        mode_img.save(buf, format="PNG")
+        return buf.getvalue()
 
     def predict_png(self, image_bytes: bytes, overlay: bool = False) -> bytes:
         try:
@@ -64,32 +185,14 @@ class InferenceService:
         except Exception as exc:
             raise ClientError(f"undecodable image: {exc}") from exc
         t0 = time.perf_counter()
-        with self._lock:
-            if overlay:
-                if self.color_map is None:
-                    raise ValueError("server built without a color_map")
-                out = self.model.predict(
-                    image[None], overlay=self.color_map, quantized=self.quantized,
-                    tile=self.tile, tile_overlap=self.tile_overlap,
-                )[0]
-                mode_img = Image.fromarray(out.astype(np.uint8), mode="RGB")
-            else:
-                ids = self.model.predict(
-                    image[None], quantized=self.quantized,
-                    tile=self.tile, tile_overlap=self.tile_overlap,
-                )[0]
-                if self.model.num_classes > 256:
-                    # uint8 would silently alias ids >= 256; a 16-bit
-                    # grayscale PNG ('I;16') keeps them exact
-                    mode_img = Image.fromarray(ids.astype(np.uint16))
-                else:
-                    mode_img = Image.fromarray(ids.astype(np.uint8), mode="L")
+        if self._batcher is not None:
+            out = self._batcher.submit(image, overlay).result()
+        else:
+            out = self._predict_batch(image[None], overlay)[0]
         with self._stats_lock:
             self._latencies.append(time.perf_counter() - t0)
             self.requests += 1
-        buf = io.BytesIO()
-        mode_img.save(buf, format="PNG")
-        return buf.getvalue()
+        return self._encode_png(out, overlay)
 
     def stats(self) -> dict:
         # snapshot under the lock: request threads append concurrently and
@@ -97,9 +200,11 @@ class InferenceService:
         with self._stats_lock:
             lat = np.asarray(list(self._latencies)) * 1e3
             requests, errors = self.requests, self.errors
+            dispatches = self.dispatches
         return {
             "requests": requests,
             "errors": errors,
+            "dispatches": dispatches,
             "p50_ms": float(np.percentile(lat, 50)) if lat.size else None,
             "p95_ms": float(np.percentile(lat, 95)) if lat.size else None,
         }
@@ -164,7 +269,12 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
 def main(argv=None):
     import sys
 
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    window_ms = 0.0
+    if "--batch-window-ms" in argv:
+        i = argv.index("--batch-window-ms")
+        window_ms = float(argv[i + 1])
+        del argv[i : i + 2]
     if not argv:
         print(__doc__)
         return 1
@@ -175,7 +285,8 @@ def main(argv=None):
     from .model import FCN8s
 
     model = FCN8s(model_load_dir=checkpoint_dir)
-    service = InferenceService(model, color_map=TRAINIDS_TO_RGBA_DICT)
+    service = InferenceService(model, color_map=TRAINIDS_TO_RGBA_DICT,
+                               batch_window_ms=window_ms)
     server = make_server(service, port=port)
     print(f"serving {checkpoint_dir} at http://127.0.0.1:{server.server_address[1]}"
           f" (POST /predict, /overlay; GET /healthz, /stats)")

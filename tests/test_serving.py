@@ -164,3 +164,87 @@ def test_stats_concurrent_with_predictions(server, rng):
         stop.set()
         t.join()
     assert not errors
+
+
+# ---------------------------------------------------------------------------
+# micro-batching
+# ---------------------------------------------------------------------------
+def test_microbatching_coalesces_concurrent_requests(rng):
+    """8 concurrent same-shape requests under a 200 ms window must resolve
+    correctly in FEWER device dispatches than requests, and each response
+    must equal the unbatched prediction."""
+    model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
+                  compute_dtype=jnp.float32)
+    service = InferenceService(model, color_map=CMAP, batch_window_ms=200,
+                               max_batch=8)
+    try:
+        bodies = [_png_bytes(rng) for _ in range(8)]
+        results = [None] * 8
+
+        def worker(i):
+            results[i] = service.predict_png(bodies[i])
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        st = service.stats()
+        assert st["requests"] == 8
+        assert st["dispatches"] < 8, st  # coalesced
+        # responses match the unbatched path exactly
+        ref_service = InferenceService(model, color_map=CMAP)
+        for body, out in zip(bodies, results):
+            ids = np.asarray(Image.open(io.BytesIO(out)))
+            ref = np.asarray(Image.open(io.BytesIO(ref_service.predict_png(body))))
+            np.testing.assert_array_equal(ids, ref)
+    finally:
+        service.close()
+        model.close()
+
+
+def test_microbatching_groups_by_shape_and_mode(rng):
+    """Mixed shapes and predict/overlay modes in one window resolve
+    independently (separate device groups), all correct."""
+    model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
+                  compute_dtype=jnp.float32)
+    service = InferenceService(model, color_map=CMAP, batch_window_ms=150,
+                               max_batch=4)
+    try:
+        specs = [(32, 64, False), (32, 64, True), (64, 64, False)]
+        outs = {}
+
+        def worker(i, h, w, overlay):
+            outs[i] = (service.predict_png(_png_bytes(rng, h, w),
+                                           overlay=overlay), overlay, h, w)
+
+        threads = [threading.Thread(target=worker, args=(i, h, w, ov))
+                   for i, (h, w, ov) in enumerate(specs)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (png, overlay, h, w) in outs.items():
+            arr = np.asarray(Image.open(io.BytesIO(png)))
+            assert arr.shape[:2] == (h, w)
+            assert (arr.ndim == 3) == overlay
+    finally:
+        service.close()
+        model.close()
+
+
+def test_microbatching_error_propagates_to_request(rng):
+    """A device-side failure fails the affected requests (500 path), not
+    the dispatcher thread; later requests still work."""
+    model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
+                  compute_dtype=jnp.float32)
+    service = InferenceService(model, color_map=None, batch_window_ms=50)
+    try:
+        with pytest.raises(ValueError, match="color_map"):
+            service.predict_png(_png_bytes(rng), overlay=True)
+        # the batcher thread survived; a good request still succeeds
+        out = service.predict_png(_png_bytes(rng))
+        assert np.asarray(Image.open(io.BytesIO(out))).shape == (32, 64)
+    finally:
+        service.close()
+        model.close()
