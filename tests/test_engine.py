@@ -684,6 +684,7 @@ def test_early_stopping_on_training_loss():
     model.close()
 
 
+@pytest.mark.slow
 def test_early_stopping_eval_metric_and_min_delta():
     """monitor='mean_iou' with eval every epoch; lr=0 freezes the metric so
     patience=1 stops at the second evaluation. min_delta folded in via the
@@ -744,6 +745,7 @@ def test_train_log_jsonl(tmp_path):
     model.close()
 
 
+@pytest.mark.slow
 def test_reduce_lr_on_plateau(tmp_path):
     """min_delta=10 makes every observation 'stale': patience=2/factor=0.5
     halves the LR after epochs 3 and 5; the train log pins the exact
@@ -786,6 +788,7 @@ def test_reduce_lr_on_plateau(tmp_path):
     model.close()
 
 
+@pytest.mark.slow
 def test_plateau_min_lr_does_not_floor_base_schedule(tmp_path):
     """Keras semantics: min_lr bounds reductions only — a base schedule
     already below min_lr must pass through untouched when no reduction

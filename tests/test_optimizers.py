@@ -96,6 +96,7 @@ def test_unknown_name_raises():
         make_optimizer("rmsprop")
 
 
+@pytest.mark.slow
 def test_facade_momentum_trains_and_checkpoint_restores(tmp_path):
     """End-to-end: momentum+clip model trains, saves, reloads with the
     SAME optimizer config from the checkpoint (including the momentum
@@ -129,6 +130,7 @@ def test_facade_momentum_trains_and_checkpoint_restores(tmp_path):
     assert int(restored.state.step) == 5
 
 
+@pytest.mark.slow
 def test_facade_custom_transformation():
     """A user-supplied inject_hyperparams transformation drops in."""
     custom = optax.inject_hyperparams(
@@ -153,6 +155,7 @@ def test_unknown_hyper_kwargs_raise():
         make_optimizer("sgd", b1=0.9)
 
 
+@pytest.mark.slow
 def test_custom_optimizer_checkpoint_load_rejected(tmp_path):
     """model_load_dir cannot rebuild a user-supplied transformation; the
     error must point at the variables_load_dir escape hatch."""
