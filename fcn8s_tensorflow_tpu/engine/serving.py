@@ -58,6 +58,11 @@ class _MicroBatcher:
     arrival count), runs one device dispatch per group, and resolves the
     requests' futures."""
 
+    #: bound on a request's wait for its batch result — the dispatcher
+    #: normally answers within one window + one device dispatch; if it
+    #: ever wedges, requests fail (500) instead of hanging forever
+    RESULT_TIMEOUT_S = 600.0
+
     def __init__(self, service: "InferenceService", window: float,
                  max_batch: int):
         if max_batch < 1:
@@ -66,17 +71,31 @@ class _MicroBatcher:
         self.window = window
         self.max_batch = max_batch
         self._q: queue.Queue = queue.Queue()
+        self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, image: np.ndarray, overlay: bool) -> Future:
+        if self._closed:
+            raise RuntimeError("inference service is closed")
         fut: Future = Future()
         self._q.put((image, overlay, fut))
         return fut
 
     def close(self):
+        self._closed = True
         self._q.put(None)
         self._thread.join()
+        # fail anything that raced past the closed flag instead of
+        # leaving its requester blocked on a never-resolved future
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[2].set_exception(
+                    RuntimeError("inference service is closed"))
 
     def _loop(self):
         while True:
@@ -100,19 +119,24 @@ class _MicroBatcher:
             self._flush(batch)
 
     def _flush(self, batch):
+        # the WHOLE body is guarded per group: any failure (stack/pad
+        # memory errors included, not just the device call) must fail
+        # that group's futures, never the dispatcher thread — a dead
+        # dispatcher would wedge every subsequent batched request
         groups: dict = {}
         for image, overlay, fut in batch:
             groups.setdefault((image.shape, overlay), []).append((image, fut))
         for (shape, overlay), group in groups.items():
-            images = np.stack([im for im, _ in group])
-            n = images.shape[0]
-            if n < self.max_batch:
-                # pad with the last image: every request count under load
-                # hits the ONE max_batch-shaped executable (a fresh batch
-                # size would otherwise compile a fresh program)
-                pad = np.repeat(images[-1:], self.max_batch - n, axis=0)
-                images = np.concatenate([images, pad], axis=0)
             try:
+                images = np.stack([im for im, _ in group])
+                n = images.shape[0]
+                if n < self.max_batch:
+                    # pad with the last image: every request count under
+                    # load hits the ONE max_batch-shaped executable (a
+                    # fresh batch size would otherwise compile a fresh
+                    # program)
+                    pad = np.repeat(images[-1:], self.max_batch - n, axis=0)
+                    images = np.concatenate([images, pad], axis=0)
                 outs = self.service._predict_batch(images, overlay)
             except Exception as exc:  # noqa: BLE001 — fail the requests, not the thread
                 for _, fut in group:
@@ -186,7 +210,8 @@ class InferenceService:
             raise ClientError(f"undecodable image: {exc}") from exc
         t0 = time.perf_counter()
         if self._batcher is not None:
-            out = self._batcher.submit(image, overlay).result()
+            out = self._batcher.submit(image, overlay).result(
+                timeout=_MicroBatcher.RESULT_TIMEOUT_S)
         else:
             out = self._predict_batch(image[None], overlay)[0]
         with self._stats_lock:
@@ -273,7 +298,12 @@ def main(argv=None):
     window_ms = 0.0
     if "--batch-window-ms" in argv:
         i = argv.index("--batch-window-ms")
-        window_ms = float(argv[i + 1])
+        try:
+            window_ms = float(argv[i + 1])
+        except (IndexError, ValueError):
+            print(__doc__)
+            print("error: --batch-window-ms requires a numeric value")
+            return 1
         del argv[i : i + 2]
     if not argv:
         print(__doc__)

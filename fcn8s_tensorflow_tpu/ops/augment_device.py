@@ -113,11 +113,9 @@ def random_brightness(rng, images, lo: float, hi: float, prob: float):
     quantization, bounded by tests/test_device_augment.py to max<=8,
     mean<=1 per channel.
     """
-    n = images.shape[0]
-    k1, k2 = jax.random.split(rng)
-    apply = jax.random.uniform(k1, (n,)) >= (1.0 - prob)
-    factor = jax.random.uniform(k2, (n,), minval=lo, maxval=hi)
-    factor = jnp.where(apply, factor, 1.0)
+    # same (apply, factor) stream as the other photometric transforms
+    # (byte-identical to the pre-helper draws — pinned by the golden tests)
+    factor = _photometric_draw(rng, images.shape[0], lo, hi, prob, 1.0)
     rgb = images.astype(jnp.float32)
     v = jnp.max(rgb, axis=-1, keepdims=True)
     v_new = jnp.floor(jnp.minimum(v * factor[:, None, None, None], 255.0))
@@ -322,7 +320,11 @@ def _photometric_draw(rng, n, lo, hi, prob, identity):
 def random_contrast(rng, images, lo: float, hi: float, prob: float):
     """Per-sample contrast by f ~ U(lo, hi): blend toward the per-image
     grayscale mean, ``out = round(mean + f*(x - mean))`` — torchvision
-    ``adjust_contrast`` semantics (beyond the reference's transform set)."""
+    ``adjust_contrast``-STYLE semantics (beyond the reference's transform
+    set). Not bit-identical to torchvision's uint8 path, which truncates
+    the grayscale intermediate to uint8 before blending (differences up
+    to ~2 LSB); this keeps the Rec.601 gray in float and rounds once —
+    the exact formula is pinned by tests/test_device_augment.py."""
     f = _photometric_draw(rng, images.shape[0], lo, hi, prob, 1.0)
     rgb = images.astype(jnp.float32)
     mean = jnp.mean(_gray601(rgb), axis=(1, 2))[:, None, None, None]
@@ -333,7 +335,9 @@ def random_contrast(rng, images, lo: float, hi: float, prob: float):
 def random_saturation(rng, images, lo: float, hi: float, prob: float):
     """Per-sample saturation by f ~ U(lo, hi): blend toward the per-PIXEL
     grayscale, ``out = round(gray + f*(x - gray))`` — torchvision
-    ``adjust_saturation`` semantics (beyond the reference)."""
+    ``adjust_saturation``-STYLE semantics (beyond the reference; same
+    float-gray-then-round caveat as ``random_contrast``: torchvision's
+    uint8 path differs by up to ~2 LSB)."""
     f = _photometric_draw(rng, images.shape[0], lo, hi, prob, 1.0)
     rgb = images.astype(jnp.float32)
     gray = _gray601(rgb)[..., None]

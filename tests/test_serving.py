@@ -248,3 +248,15 @@ def test_microbatching_error_propagates_to_request(rng):
     finally:
         service.close()
         model.close()
+
+
+def test_microbatching_submit_after_close_fails_fast(rng):
+    """A request arriving after close() must raise immediately (mapped to
+    500 by the HTTP layer), never hang on an unresolved future."""
+    model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
+                  compute_dtype=jnp.float32)
+    service = InferenceService(model, color_map=CMAP, batch_window_ms=50)
+    service.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        service.predict_png(_png_bytes(rng))
+    model.close()
