@@ -139,3 +139,66 @@ def scale_zoom(rng, image, gt_image, lo, hi, void_class_id):
 def grayscale(image):
     """RGB -> single-channel grayscale, keeping a channel dim (reference `:386-387`)."""
     return np.expand_dims(cv2.cvtColor(image, cv2.COLOR_RGB2GRAY), axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference photometric transforms — host twins of the device set
+# (ops/augment_device.py random_contrast/saturation/hue/gamma). Formulas are
+# identical (float32 Rec.601 gray, round once), so the two pipelines agree to
+# uint8 rounding; cross-checked in tests/test_data.py.
+# ---------------------------------------------------------------------------
+def _gray601(image_f32):
+    return (image_f32[..., 0] * 0.299 + image_f32[..., 1] * 0.587
+            + image_f32[..., 2] * 0.114)
+
+
+def contrast(rng, image, lo, hi):
+    """Blend toward the image's grayscale mean by f ~ U(lo, hi)."""
+    f = np.float32(rng.uniform(lo, hi))
+    x = image.astype(np.float32)
+    mean = _gray601(x).mean(dtype=np.float32)
+    return np.clip(np.round(mean + f * (x - mean)), 0, 255).astype(np.uint8)
+
+
+def saturation(rng, image, lo, hi):
+    """Blend toward the per-pixel grayscale by f ~ U(lo, hi)."""
+    f = np.float32(rng.uniform(lo, hi))
+    x = image.astype(np.float32)
+    g = _gray601(x)[..., None]
+    return np.clip(np.round(g + f * (x - g)), 0, 255).astype(np.uint8)
+
+
+def gamma(rng, image, lo, hi):
+    """Power-law ``255*(x/255)**g`` with g ~ U(lo, hi)."""
+    g = np.float32(rng.uniform(lo, hi))
+    x = image.astype(np.float32) / np.float32(255.0)
+    return np.clip(np.round(255.0 * x**g), 0, 255).astype(np.uint8)
+
+
+def hue_rotate(rng, image, max_delta):
+    """Rotate hue by delta ~ U(-max_delta, max_delta) turns, S and V
+    preserved (float-exact HSV round trip, same math as the device twin)."""
+    delta = np.float32(rng.uniform(-max_delta, max_delta))
+    x = image.astype(np.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = np.max(x, axis=-1)
+    mn = np.min(x, axis=-1)
+    c = mx - mn
+    safe_c = np.maximum(c, np.float32(1e-12))
+    h = np.where(
+        c == 0, 0.0,
+        np.where(mx == r, np.mod((g - b) / safe_c, 6.0),
+                 np.where(mx == g, (b - r) / safe_c + 2.0,
+                          (r - g) / safe_c + 4.0)))
+    h = np.mod(h + delta * 6.0, 6.0)
+    cx = c * (1.0 - np.abs(np.mod(h, 2.0) - 1.0))
+    sector = np.floor(h).astype(np.int32)
+    zeros = np.zeros_like(c)
+    r1 = np.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                    sector == 4], [c, cx, zeros, zeros, cx], c)
+    g1 = np.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                    sector == 4], [cx, c, c, cx, zeros], zeros)
+    b1 = np.select([sector == 0, sector == 1, sector == 2, sector == 3,
+                    sector == 4], [zeros, zeros, cx, c, c], cx)
+    out = np.stack([r1, g1, b1], axis=-1) + mn[..., None]
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -190,6 +190,10 @@ class BatchGenerator:
         translate=False,
         scale=False,
         gray=False,
+        contrast=False,
+        saturation=False,
+        hue=False,
+        gamma=False,
         to_disk=False,
         shuffle=True,
         seed=None,
@@ -329,6 +333,16 @@ class BatchGenerator:
                         image, gt_image = augment.resize_pair(image, gt_image, resize)
                     if brightness and prng.random() >= (1 - brightness[2]):
                         image = augment.brightness_hsv(prng, image, brightness[0], brightness[1])
+                    # beyond-reference photometric extras (device twins in
+                    # ops/augment_device.py), applied after brightness
+                    if contrast and prng.random() >= (1 - contrast[2]):
+                        image = augment.contrast(prng, image, contrast[0], contrast[1])
+                    if saturation and prng.random() >= (1 - saturation[2]):
+                        image = augment.saturation(prng, image, saturation[0], saturation[1])
+                    if hue and prng.random() >= (1 - hue[1]):
+                        image = augment.hue_rotate(prng, image, hue[0])
+                    if gamma and prng.random() >= (1 - gamma[2]):
+                        image = augment.gamma(prng, image, gamma[0], gamma[1])
                     if flip and prng.random() >= (1 - flip):
                         image, gt_image = augment.horizontal_flip(image, gt_image)
                     if translate and prng.random() >= (1 - translate[2]):
@@ -395,6 +409,10 @@ class BatchGenerator:
         translate=False,
         scale=False,
         gray=False,
+        contrast=False,
+        saturation=False,
+        hue=False,
+        gamma=False,
         batch_size=1,
     ):
         """Offline preprocessing: run the whole dataset once through
@@ -416,6 +434,10 @@ class BatchGenerator:
             translate=translate,
             scale=scale,
             gray=gray,
+            contrast=contrast,
+            saturation=saturation,
+            hue=hue,
+            gamma=gamma,
             to_disk=True,
             shuffle=False,
         )

@@ -441,3 +441,73 @@ def test_shard_count_exceeding_dataset_raises(cityscapes_tree):
     with pytest.raises(DataError, match="exceeds the dataset size"):
         next(gen.generate(batch_size=1, convert_to_one_hot=False,
                           shuffle=False, shard=(0, 7)))
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference host photometric transforms (twins of ops/augment_device)
+# ---------------------------------------------------------------------------
+class _FixedRng:
+    """Stub generator pinning the factor draw, for host/device comparison."""
+
+    def __init__(self, u):
+        self._u = u
+
+    def uniform(self, lo, hi):
+        return self._u
+
+    def random(self):
+        return 0.0
+
+
+def test_photometric_host_device_twins_agree():
+    """Host NumPy and device JAX implementations share the formula: with
+    the factor pinned (degenerate lo==hi uniform on the device side) the
+    outputs agree to <=1 LSB (f32 pow/round boundaries)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcn8s_tensorflow_tpu.ops import augment_device as dev
+
+    rng = np.random.default_rng(2)
+    image = rng.integers(0, 255, (6, 8, 3), np.uint8)
+    batch = jnp.asarray(image[None])
+    key = jax.random.PRNGKey(0)
+    for host_fn, dev_fn, f in [(augment.contrast, dev.random_contrast, 1.4),
+                               (augment.saturation, dev.random_saturation, 0.6),
+                               (augment.gamma, dev.random_gamma, 1.7)]:
+        h = host_fn(_FixedRng(f), image, f, f)
+        d = np.asarray(dev_fn(key, batch, f, f, 1.0))[0]
+        assert np.abs(h.astype(np.int32) - d.astype(np.int32)).max() <= 1, host_fn
+
+
+def test_host_hue_rotate_matches_colorsys():
+    import colorsys
+
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 255, (5, 7, 3), np.uint8)
+    delta = 0.21
+    out = augment.hue_rotate(_FixedRng(delta), image, 0.5)
+    x = image.astype(np.float64) / 255.0
+    exp = np.zeros_like(x)
+    for i in range(x.shape[0]):
+        for j in range(x.shape[1]):
+            h, s, v = colorsys.rgb_to_hsv(*x[i, j])
+            exp[i, j] = colorsys.hsv_to_rgb((h + delta) % 1.0, s, v)
+    exp = np.clip(np.round(exp * 255.0), 0, 255)
+    assert np.abs(out.astype(np.int32) - exp.astype(np.int32)).max() <= 1
+
+
+def test_generate_with_photometric_extras(cityscapes_tree):
+    """The generator applies the photometric kwargs (prob=1, strong
+    factors change pixels; GT untouched)."""
+    gen = _make_gen(cityscapes_tree)
+    plain = next(gen.generate(batch_size=2, convert_to_one_hot=False,
+                              shuffle=False, seed=1))
+    shifted = next(gen.generate(batch_size=2, convert_to_one_hot=False,
+                                shuffle=False, seed=1,
+                                contrast=(1.8, 1.8, 1.0), gamma=(0.5, 0.5, 1.0),
+                                saturation=(0.2, 0.2, 1.0), hue=(0.3, 1.0)))
+    assert any((np.asarray(a) != np.asarray(b)).any()
+               for a, b in zip(plain[0], shifted[0]))
+    for a, b in zip(plain[1], shifted[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # GT unchanged
