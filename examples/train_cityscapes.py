@@ -55,6 +55,25 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the encoder blocks (activation HBM "
                         "for FLOPs — full-resolution training)")
+    p.add_argument("--optimizer", default="adam",
+                   choices=["adam", "adamw", "momentum", "sgd"],
+                   help="adam = the reference's TF1-exact Adam")
+    p.add_argument("--clip-norm", type=float, default=None,
+                   help="global-norm gradient clipping")
+    p.add_argument("--early-stopping", type=int, default=None, metavar="PATIENCE",
+                   help="stop after PATIENCE observations without "
+                        "improvement of the monitored loss")
+    p.add_argument("--reduce-lr-on-plateau", type=int, default=None,
+                   metavar="PATIENCE",
+                   help="scale the LR x0.1 whenever the monitored loss "
+                        "stalls PATIENCE observations")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="maintain an EMA of the weights (serve with "
+                        "use_ema=True / adopt_ema())")
+    p.add_argument("--shard", type=int, nargs=2, default=None,
+                   metavar=("INDEX", "COUNT"),
+                   help="multi-host input sharding: this host's disjoint "
+                        "slice of every epoch (pair with jax.distributed)")
     args = p.parse_args()
 
     train_gen = BatchGenerator(
@@ -85,6 +104,7 @@ def main():
         batch_size=args.batch_size,
         flip=False if args.device_augment else 0.5,
         seed=0,
+        shard=tuple(args.shard) if args.shard else None,
         **common,
     )
     val_it = val_gen.generate(batch_size=args.batch_size, shuffle=False, seed=0, **common)
@@ -95,6 +115,8 @@ def main():
         tensor_parallel=args.tensor_parallel,
         variant=args.variant,
         remat=args.remat,
+        optimizer=args.optimizer,
+        clip_norm=args.clip_norm,
     )
 
     steps_per_epoch = ceil(train_gen.get_num_files() / args.batch_size)
@@ -123,6 +145,10 @@ def main():
                         "translate": ((0, 16), (0, 8), 0.5),
                         "scale": (0.8, 1.2, 0.5)} if args.device_augment else None,
         gradient_accumulation=args.gradient_accumulation,
+        early_stopping=args.early_stopping,
+        reduce_lr_on_plateau=args.reduce_lr_on_plateau,
+        ema_decay=args.ema_decay,
+        train_log=os.path.join(args.out, "train_log.jsonl"),
     )
 
     # final evaluation + qualitative results (tutorial cells 19-26)
