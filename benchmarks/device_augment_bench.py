@@ -93,13 +93,35 @@ def main():
     aug_dt, state = time_step(aug_step, state, im, lb, mk, key)
     log(f"device-augmented: {aug_dt * 1e3:.1f} ms/step")
 
+    # + the beyond-reference photometric extras on top (pure VPU
+    # arithmetic, expected ~free relative to the geometric gathers)
+    aug_photo = make_augment_fn(
+        flip=0.5,
+        brightness=(0.8, 1.2, 0.5),
+        translate=((0, 16), (0, 8), 0.5),
+        scale=(0.8, 1.2, 0.5),
+        contrast=(0.7, 1.3, 0.5),
+        saturation=(0.5, 1.5, 0.5),
+        hue=(0.1, 0.5),
+        gamma=(0.7, 1.4, 0.5),
+        void_class_id=0,
+    )
+    photo_step = compile_train_step(
+        mesh, optimizer, NUM_CLASSES, example_state=state, augment_fn=aug_photo
+    )
+    photo_dt, state = time_step(photo_step, state, im, lb, mk, key)
+    log(f"+photometric extras: {photo_dt * 1e3:.1f} ms/step")
+
     print(json.dumps({
         "metric": "device_augment_step_overhead_ms",
         "baseline_ms_per_step": round(base_dt * 1e3, 1),
         "augmented_ms_per_step": round(aug_dt * 1e3, 1),
         "overhead_ms": round((aug_dt - base_dt) * 1e3, 1),
         "overhead_pct": round((aug_dt / base_dt - 1) * 100, 1),
+        "photometric_ms_per_step": round(photo_dt * 1e3, 1),
+        "photometric_marginal_ms": round((photo_dt - aug_dt) * 1e3, 1),
         "config": "flip 0.5 + brightness(0.8,1.2,0.5) + translate((0,16),(0,8),0.5) + scale(0.8,1.2,0.5)",
+        "photometric_config": "+ contrast(0.7,1.3,0.5) + saturation(0.5,1.5,0.5) + hue(0.1,0.5) + gamma(0.7,1.4,0.5)",
         "shape": f"{BATCH}x{H}x{W}",
     }))
 
