@@ -68,8 +68,9 @@ def main():
                    help="scale the LR x0.1 whenever the monitored loss "
                         "stalls PATIENCE observations")
     p.add_argument("--ema-decay", type=float, default=None,
-                   help="maintain an EMA of the weights (serve with "
-                        "use_ema=True / adopt_ema())")
+                   help="maintain an EMA of the weights; the script adopts "
+                        "them after training, so the final eval/predictions "
+                        "report the averaged model")
     p.add_argument("--shard", type=int, nargs=2, default=None,
                    metavar=("INDEX", "COUNT"),
                    help="multi-host input sharding: this host's disjoint "
@@ -109,6 +110,20 @@ def main():
     )
     val_it = val_gen.generate(batch_size=args.batch_size, shuffle=False, seed=0, **common)
 
+    # Sharded input: each host sees only ceil(n/count) images per epoch, so
+    # an "epoch" of steps must shrink accordingly; and only one process may
+    # own the shared output tree (checkpoints/TB/log) — concurrent writers
+    # would race on the same files.
+    n_train = train_gen.get_num_files()
+    if args.shard:
+        n_train = ceil(n_train / args.shard[1])
+    try:
+        import jax
+
+        is_main = jax.process_index() == 0
+    except Exception:
+        is_main = True
+
     model = FCN8s(
         num_classes=NUM_TRAIN_CLASSES,
         vgg16_dir=args.vgg16_dir,
@@ -119,7 +134,7 @@ def main():
         clip_norm=args.clip_norm,
     )
 
-    steps_per_epoch = ceil(train_gen.get_num_files() / args.batch_size)
+    steps_per_epoch = ceil(n_train / args.batch_size)
     model.train(
         train_generator=train_it,
         epochs=args.epochs,
@@ -132,14 +147,14 @@ def main():
         val_generator=val_it,
         val_steps=ceil(val_gen.get_num_files() / args.batch_size),
         metrics={"loss", "mean_iou", "accuracy"},
-        save_during_training=True,
+        save_during_training=is_main,
         save_dir=os.path.join(args.out, "checkpoints"),
         save_best_only=True,
         monitor="loss",
         save_frequency=2,
-        record_summaries=True,
+        record_summaries=is_main,
         summaries_frequency=10,
-        summaries_dir=os.path.join(args.out, "tensorboard"),
+        summaries_dir=os.path.join(args.out, "tensorboard") if is_main else None,
         summaries_name=args.variant,
         device_augment={"flip": 0.5, "brightness": (0.8, 1.2, 0.5),
                         "translate": ((0, 16), (0, 8), 0.5),
@@ -148,8 +163,13 @@ def main():
         early_stopping=args.early_stopping,
         reduce_lr_on_plateau=args.reduce_lr_on_plateau,
         ema_decay=args.ema_decay,
-        train_log=os.path.join(args.out, "train_log.jsonl"),
+        train_log=(os.path.join(args.out, "train_log.jsonl")
+                   if is_main else None),
     )
+    if args.ema_decay:
+        # make the averaged weights the served weights: the final eval,
+        # prediction PNGs, and video below all report the EMA model
+        model.adopt_ema()
 
     # final evaluation + qualitative results (tutorial cells 19-26)
     model.evaluate(val_it, ceil(val_gen.get_num_files() / args.batch_size), dataset="val")

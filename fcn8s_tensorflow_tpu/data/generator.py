@@ -205,6 +205,13 @@ class BatchGenerator:
         pipeline and argument semantics (`batch_generator.py:140-417`);
         see module docstring for the TPU-first extras.
 
+        Beyond-reference photometric options (applied after ``brightness``,
+        images only; device twins in ``ops.augment_device``):
+        ``contrast`` / ``saturation`` / ``gamma`` take ``(lo, hi, prob)``
+        like ``brightness``; ``hue`` takes ``(max_delta, prob)`` — the
+        rotation is drawn from U(-max_delta, +max_delta) turns, so there
+        is no (lo, hi) pair (a 3-tuple raises).
+
         ``workers > 1`` (TPU-first extra): run the per-IMAGE pipeline
         (decode + OpenCV transforms, which release the GIL) on a thread
         pool. Each image gets a child RNG derived in path order from the
@@ -240,6 +247,11 @@ class BatchGenerator:
                 "in the constructor, but `num_classes` is `None`."
             )
 
+        if hue and len(hue) != 2:
+            raise ValueError(
+                f"hue takes (max_delta, prob) — the rotation is drawn from "
+                f"U(-max_delta, +max_delta), so there is no (lo, hi) pair; "
+                f"got {hue}")
         if shard is not None:
             shard_index, shard_count = shard
             if not (0 <= shard_index < shard_count):

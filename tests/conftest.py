@@ -36,3 +36,21 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+class FixedRng:
+    """Host-rng stub returning pinned draws, so host and device transforms
+    can be compared with identical parameters (shared by test_data and
+    test_device_augment)."""
+
+    def __init__(self, uniform_value=None, random_value=0.0, integers_value=None):
+        self._u, self._r, self._i = uniform_value, random_value, integers_value
+
+    def uniform(self, lo, hi):
+        return self._u
+
+    def random(self):
+        return self._r
+
+    def integers(self, lo, hi):
+        return self._i

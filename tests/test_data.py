@@ -446,17 +446,11 @@ def test_shard_count_exceeding_dataset_raises(cityscapes_tree):
 # ---------------------------------------------------------------------------
 # beyond-reference host photometric transforms (twins of ops/augment_device)
 # ---------------------------------------------------------------------------
-class _FixedRng:
-    """Stub generator pinning the factor draw, for host/device comparison."""
+from tests.conftest import FixedRng
 
-    def __init__(self, u):
-        self._u = u
 
-    def uniform(self, lo, hi):
-        return self._u
-
-    def random(self):
-        return 0.0
+def _FixedRng(u):
+    return FixedRng(uniform_value=u)
 
 
 def test_photometric_host_device_twins_agree():
@@ -511,3 +505,10 @@ def test_generate_with_photometric_extras(cityscapes_tree):
                for a, b in zip(plain[0], shifted[0]))
     for a, b in zip(plain[1], shifted[1]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # GT unchanged
+
+
+def test_hue_three_tuple_rejected(cityscapes_tree):
+    gen = _make_gen(cityscapes_tree)
+    with pytest.raises(ValueError, match="max_delta, prob"):
+        next(gen.generate(batch_size=1, convert_to_one_hot=False,
+                          shuffle=False, hue=(0.1, 0.5, 1.0)))

@@ -102,21 +102,7 @@ def test_train_with_device_augment(rng):
 from fcn8s_tensorflow_tpu.data import augment as host_aug
 
 
-class _FixedRng:
-    """Host-rng stub returning pinned draws, so host and device apply the
-    same transform parameters."""
-
-    def __init__(self, uniform_value=None, random_value=0.0, integers_value=None):
-        self._u, self._r, self._i = uniform_value, random_value, integers_value
-
-    def uniform(self, lo, hi):
-        return self._u
-
-    def random(self):
-        return self._r
-
-    def integers(self, lo, hi):
-        return self._i
+from tests.conftest import FixedRng as _FixedRng
 
 
 def _cv2_divergence_mask(size, factor):
