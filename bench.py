@@ -37,6 +37,48 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+DEVICE_INIT_TIMEOUT_S = 600.0
+
+
+def _devices_or_die():
+    """jax.devices() with a watchdog: the axon tunnel has been observed to
+    go fully dark (device init blocks forever — 2026-08-17 outage). The
+    mandatory JSON line must still print, honestly: value null + an error
+    field, never a stale or fabricated number."""
+    import threading
+
+    import jax
+
+    box = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as exc:  # noqa: BLE001 — report, don't raise
+            box["error"] = str(exc)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(DEVICE_INIT_TIMEOUT_S)
+    if "devices" in box:
+        return box["devices"]
+    err = box.get(
+        "error",
+        f"TPU device init unresponsive after {DEVICE_INIT_TIMEOUT_S:.0f}s "
+        f"(axon tunnel outage)")
+    print(json.dumps({
+        "metric": "fcn8s_train_images_per_sec_per_chip_1024x512",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": err,
+    }))
+    sys.stdout.flush()
+    import os
+
+    os._exit(0)  # the probe thread is stuck in native code; exit hard
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -50,7 +92,7 @@ def main():
         make_optimizer,
     )
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {_devices_or_die()}")
     mesh = create_mesh()
     n_chips = mesh.devices.size
     rng = np.random.default_rng(0)
