@@ -512,3 +512,20 @@ def test_hue_three_tuple_rejected(cityscapes_tree):
     with pytest.raises(ValueError, match="max_delta, prob"):
         next(gen.generate(batch_size=1, convert_to_one_hot=False,
                           shuffle=False, hue=(0.1, 0.5, 1.0)))
+
+
+def test_shard_composes_with_workers(cityscapes_tree):
+    """shard + workers: same (seed, shard) stream regardless of worker
+    count, still disjoint across hosts."""
+    gen = _make_gen(cityscapes_tree)
+    ident = _identity_map(cityscapes_tree)
+
+    def epoch(idx, workers):
+        it = gen.generate(batch_size=1, convert_to_one_hot=False, shuffle=True,
+                          seed=13, shard=(idx, 2), workers=workers)
+        return _epoch_stems(it, 3, ident)
+
+    a2, a3 = epoch(0, 2), epoch(0, 3)
+    assert a2 == a3  # worker-count independent
+    b2 = epoch(1, 2)
+    assert not set(a2) & set(b2) and len(set(a2 + b2)) == 6
