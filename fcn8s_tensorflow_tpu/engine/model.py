@@ -1067,6 +1067,77 @@ class FCN8s:
         images, _ = self._pad_batch_dim(images)
         return images, (n, h, w)
 
+    def score_benchmark(self, dataset_dir, results_dir, *, split="val",
+                        id_map=None, batch_size=8, use_ema=False, tile=None,
+                        tile_overlap=128, tile_blend=False,
+                        instance_level=True, quiet=True, export_file=None):
+        """One-call Cityscapes-benchmark scoring: predict every ``split``
+        image under ``dataset_dir``, export the benchmark-format labelId
+        PNGs into ``results_dir``, and run the offline pixel-level scorer —
+        the reference's two-script workflow (``predict_and_save``,
+        `fcn8s_tensorflow.py:772-855`, followed by
+        `evalPixelLevelSemanticLabeling.py:648-674`) as one call.
+
+        ``dataset_dir`` must have the standard layout
+        (``leftImg8bit/<split>/<city>/*_leftImg8bit.png`` +
+        ``gtFine/<split>/<city>/*_gtFine_labelIds.png``; instanceIds files
+        too unless ``instance_level=False``). ``id_map`` converts predicted
+        ids to the benchmark's labelId space — defaults to
+        ``labels.TRAINIDS_TO_IDS_ARRAY`` for the modified 20-class trainId
+        scheme; required explicitly otherwise. Prediction knobs
+        (``use_ema``/``tile``/``tile_blend``) pass through.
+
+        Returns the scorer's result dict (``confMatrix``, ``classScores``,
+        ``averageScoreClasses``, ...), also written as JSON to
+        ``export_file`` (default: inside ``results_dir``). The scorer's
+        per-class IoU agrees with the streaming confusion-matrix IoU on
+        identical predictions (tests/test_offline_eval.py
+        ``test_closed_loop_scorer_consistency``)."""
+        from glob import glob as _glob
+
+        from ..evaluation import pixel_eval
+
+        img_root = os.path.join(dataset_dir, "leftImg8bit", split)
+        if not os.path.isdir(img_root):
+            raise ValueError(f"no such image root: {img_root}")
+        if id_map is None:
+            from ..labels import NUM_TRAIN_CLASSES, TRAINIDS_TO_IDS_ARRAY
+
+            if self.num_classes != NUM_TRAIN_CLASSES:
+                raise ValueError(
+                    "id_map is required when the model's class space is not "
+                    "the modified 20-class Cityscapes trainId scheme")
+            id_map = TRAINIDS_TO_IDS_ARRAY
+
+        os.makedirs(results_dir, exist_ok=True)
+        for city in sorted(os.listdir(img_root)):
+            city_dir = os.path.join(img_root, city)
+            if not os.path.isdir(city_dir):
+                continue
+            self.predict_and_save(
+                results_dir, city_dir, output_format="ids", id_map=id_map,
+                batch_size=batch_size, overwrite_existing=False,
+                use_ema=use_ema, tile=tile, tile_overlap=tile_overlap,
+                tile_blend=tile_blend,
+            )
+
+        args = pixel_eval.default_args()
+        args.cityscapes_path = dataset_dir
+        args.ground_truth_search = os.path.join(
+            dataset_dir, "gtFine", split, "*", "*_gtFine_labelIds.png")
+        args.prediction_path = results_dir
+        args.eval_inst_level_score = instance_level
+        args.quiet = quiet
+        args.export_file = export_file or os.path.join(
+            results_dir, "resultPixelLevelSemanticLabeling.json")
+        ground_truths = sorted(_glob(args.ground_truth_search))
+        if not ground_truths:
+            raise ValueError(
+                f"no ground truth found under {args.ground_truth_search}")
+        predictions = [pixel_eval.get_prediction(args, gt)
+                       for gt in ground_truths]
+        return pixel_eval.evaluate_img_lists(predictions, ground_truths, args)
+
     def _dispatch_predict(self, padded, argmax=True, spatial_partition=False, overlay=None,
                           quantized=False, params=None):
         """H2D + async device dispatch; returns the device array WITHOUT

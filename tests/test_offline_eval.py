@@ -312,3 +312,45 @@ def test_closed_loop_scorer_consistency(tmp_path, monkeypatch):
     # the model actually learned the mapping (random 20-class argmax would
     # score ~0.05) — the chain is non-trivial; measured ~0.44 at 50 steps
     assert np.nanmean([offline["classScores"][id2label[c].name] for c in (7, 11, 26)]) > 0.3
+
+
+def test_score_benchmark_facade(tmp_path):
+    """FCN8s.score_benchmark: the predict->export->offline-score chain as
+    one call (mechanics only; scorer/streaming agreement is pinned by
+    test_closed_loop_scorer_consistency)."""
+    import jax.numpy as jnp
+
+    from fcn8s_tensorflow_tpu.engine.model import FCN8s
+    from fcn8s_tensorflow_tpu.labels import NUM_TRAIN_CLASSES
+
+    rng = np.random.default_rng(1)
+    H, W = 32, 64
+    ds = tmp_path / "ds"
+    img_dir = ds / "leftImg8bit" / "val" / "synth"
+    gt_dir = ds / "gtFine" / "val" / "synth"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    for n in range(2):
+        gt = np.full((H, W), 7, np.uint8)
+        gt[:, W // 2:] = 26
+        name = f"synth_000000_{n:06d}"
+        Image.fromarray(rng.integers(0, 255, (H, W, 3), np.uint8)).save(
+            img_dir / f"{name}_leftImg8bit.png")
+        Image.fromarray(gt).save(gt_dir / f"{name}_gtFine_labelIds.png")
+        Image.fromarray(gt.astype(np.uint16)).save(
+            gt_dir / f"{name}_gtFine_instanceIds.png")
+
+    model = FCN8s(num_classes=NUM_TRAIN_CLASSES, width_mult=1 / 32,
+                  fc_channels=32, compute_dtype=jnp.float32)
+    results_dir = str(tmp_path / "results")
+    out = model.score_benchmark(str(ds), results_dir)
+    assert "classScores" in out and "confMatrix" in out
+    conf = np.asarray(out["confMatrix"])
+    assert conf.sum() == 2 * H * W  # every pixel scored exactly once
+    assert os.path.isfile(os.path.join(
+        results_dir, "resultPixelLevelSemanticLabeling.json"))
+    saved = [p for p in os.listdir(results_dir) if p.endswith(".png")]
+    assert len(saved) == 2
+    with pytest.raises(ValueError, match="image root"):
+        model.score_benchmark(str(tmp_path / "nope"), results_dir)
+    model.close()
