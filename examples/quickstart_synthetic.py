@@ -52,8 +52,21 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=24)
     p.add_argument("--out", default=None)
+    p.add_argument("--width-mult", type=float, default=None,
+                   help="encoder width multiplier; default 1.0 on an "
+                        "accelerator, 1/8 on CPU (a full-width step takes "
+                        "~30 s/core on CPU and 8-virtual-device runs can "
+                        "hit XLA's 40 s collective-rendezvous termination)")
     args = p.parse_args()
     out = args.out or tempfile.mkdtemp(prefix="fcn8s_quickstart_")
+
+    import jax
+
+    on_cpu = jax.default_backend() == "cpu"
+    width_mult = args.width_mult if args.width_mult is not None else (
+        1 / 8 if on_cpu else 1.0)
+    model_kwargs = {} if width_mult == 1.0 else dict(
+        width_mult=width_mult, fc_channels=max(32, int(4096 * width_mult ** 2)))
 
     data_root = os.path.join(out, "data")
     make_synthetic_dataset(data_root)
@@ -70,7 +83,7 @@ def main():
         convert_to_one_hot=False, flip=0.5, void_class_id=0, seed=1,
     )
 
-    model = FCN8s(num_classes=NUM_TRAIN_CLASSES)
+    model = FCN8s(num_classes=NUM_TRAIN_CLASSES, **model_kwargs)
     model.train(
         train_generator=train_it,
         epochs=2,
