@@ -640,42 +640,48 @@ class FCN8s:
             raise ValueError(f"monitor '{monitor}' requires it to be in metrics {metrics}")
         if ema_decay is not None and not (0.0 < float(ema_decay) < 1.0):
             raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
-        if early_stopping is not None:
-            es = (dict(early_stopping) if isinstance(early_stopping, dict)
-                  else {"patience": early_stopping})
-            es_patience = int(es.pop("patience"))
-            es_min_delta = float(es.pop("min_delta", 0.0))
-            if es:
-                raise ValueError(f"unknown early_stopping keys: {sorted(es)}")
-            if es_patience < 1:
-                raise ValueError(f"early_stopping patience must be >= 1, got {es_patience}")
+        def _observer_cfg(value, name, defaults):
+            """Shared parsing for the monitored-metric observers
+            (early_stopping / reduce_lr_on_plateau): int patience or a
+            dict with patience + the feature's extra keys."""
+            d = dict(value) if isinstance(value, dict) else {"patience": value}
+            out = {"patience": int(d.pop("patience"))}
+            for key, default in defaults.items():
+                out[key] = float(d.pop(key, default))
+            if d:
+                raise ValueError(f"unknown {name} keys: {sorted(d)}")
+            if out["patience"] < 1:
+                raise ValueError(
+                    f"{name} patience must be >= 1, got {out['patience']}")
             if monitor != "loss" and not (metrics and eval_frequency):
                 raise ValueError(
-                    "early_stopping on an eval metric requires metrics and "
-                    "eval_frequency so the monitor is ever measured")
+                    f"{name} on an eval metric requires metrics and "
+                    f"eval_frequency so the monitor is ever measured")
+            return out
+
+        if early_stopping is not None:
+            es_cfg = _observer_cfg(early_stopping, "early_stopping",
+                                   {"min_delta": 0.0})
+            es_patience, es_min_delta = es_cfg["patience"], es_cfg["min_delta"]
             es_best, es_stale = None, 0
         if reduce_lr_on_plateau is not None:
-            rp = (dict(reduce_lr_on_plateau)
-                  if isinstance(reduce_lr_on_plateau, dict)
-                  else {"patience": reduce_lr_on_plateau})
-            rp_patience = int(rp.pop("patience"))
-            rp_factor = float(rp.pop("factor", 0.1))
-            rp_min_delta = float(rp.pop("min_delta", 0.0))
-            rp_min_lr = float(rp.pop("min_lr", 0.0))
-            if rp:
-                raise ValueError(f"unknown reduce_lr_on_plateau keys: {sorted(rp)}")
-            if rp_patience < 1:
-                raise ValueError(
-                    f"reduce_lr_on_plateau patience must be >= 1, got {rp_patience}")
+            rp_cfg = _observer_cfg(
+                reduce_lr_on_plateau, "reduce_lr_on_plateau",
+                {"factor": 0.1, "min_delta": 0.0, "min_lr": 0.0})
+            rp_patience, rp_factor = rp_cfg["patience"], rp_cfg["factor"]
+            rp_min_delta, rp_min_lr = rp_cfg["min_delta"], rp_cfg["min_lr"]
             if not 0.0 < rp_factor < 1.0:
                 raise ValueError(
                     f"reduce_lr_on_plateau factor must be in (0, 1), got {rp_factor}")
-            if monitor != "loss" and not (metrics and eval_frequency):
-                raise ValueError(
-                    "reduce_lr_on_plateau on an eval metric requires metrics "
-                    "and eval_frequency so the monitor is ever measured")
             rp_best, rp_stale = None, 0
         lr_scale = 1.0  # cumulative plateau factor; 1.0 when disabled
+
+        def _improved(obs, best, delta):
+            """Lower-is-better for loss, higher otherwise; first
+            observation always counts as an improvement."""
+            return (best is None
+                    or (obs < best - delta if monitor == "loss"
+                        else obs > best + delta))
 
         if class_weights is not None:
             cw = tuple(float(w) for w in np.asarray(class_weights).reshape(-1))
@@ -851,13 +857,8 @@ class FCN8s:
                 else:
                     obs = None  # monitor not measured this epoch
 
-                def _improved(best, delta):
-                    return (best is None
-                            or (obs < best - delta if monitor == "loss"
-                                else obs > best + delta))
-
                 if obs is not None and reduce_lr_on_plateau is not None:
-                    if _improved(rp_best, rp_min_delta):
+                    if _improved(obs, rp_best, rp_min_delta):
                         rp_best, rp_stale = obs, 0
                     else:
                         rp_stale += 1
@@ -876,7 +877,7 @@ class FCN8s:
                                   f"{rp_patience} observations — learning "
                                   f"rate scaled to {learning_rate:.3e}.")
                 if obs is not None and early_stopping is not None:
-                    if _improved(es_best, es_min_delta):
+                    if _improved(obs, es_best, es_min_delta):
                         es_best, es_stale = obs, 0
                     else:
                         es_stale += 1
@@ -1093,8 +1094,6 @@ class FCN8s:
         per-class IoU agrees with the streaming confusion-matrix IoU on
         identical predictions (tests/test_offline_eval.py
         ``test_closed_loop_scorer_consistency``)."""
-        from glob import glob as _glob
-
         from ..evaluation import pixel_eval
 
         img_root = os.path.join(dataset_dir, "leftImg8bit", split)
@@ -1130,7 +1129,7 @@ class FCN8s:
         args.quiet = quiet
         args.export_file = export_file or os.path.join(
             results_dir, "resultPixelLevelSemanticLabeling.json")
-        ground_truths = sorted(_glob(args.ground_truth_search))
+        ground_truths = sorted(glob(args.ground_truth_search))
         if not ground_truths:
             raise ValueError(
                 f"no ground truth found under {args.ground_truth_search}")

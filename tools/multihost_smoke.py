@@ -27,6 +27,7 @@ Used by tests/test_multihost.py.
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -197,7 +198,7 @@ def main() -> int:
             if "multihost step OK, loss=" in line:
                 losses.append(float(line.rsplit("=", 1)[1]))
             if "consumed=" in line:
-                consumed[i] = eval(line.rsplit("=", 1)[1], {"__builtins__": {}})
+                consumed[i] = json.loads(line.rsplit("=", 1)[1])
     if sharded and ok:
         shards = [set(consumed.get(i, ())) for i in range(num_processes)]
         union = set().union(*shards)
