@@ -38,13 +38,47 @@ def log(*a):
 
 
 DEVICE_INIT_TIMEOUT_S = 600.0
+RUN_TIMEOUT_S = 2700.0  # whole-run ceiling; a healthy run is ~5-8 min
+
+
+def _fail_json_and_exit(err):
+    """Print the mandatory JSON line with value null + an error field (never
+    a stale or fabricated number), then hard-exit NONZERO so shell callers
+    (`python bench.py && record`) see the failure while JSON consumers still
+    get the honest line. Hard exit because the hung thread is in native code."""
+    print(json.dumps({
+        "metric": "fcn8s_train_images_per_sec_per_chip_1024x512",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": err,
+    }))
+    sys.stdout.flush()
+    import os
+
+    os._exit(1)
+
+
+def _arm_run_watchdog():
+    """Whole-run watchdog: the axon tunnel has been observed to go dark not
+    only at device init (2026-08-17 outage) but potentially mid-run (remote
+    compiles, step execution). If main() hasn't finished in RUN_TIMEOUT_S,
+    emit the honest null JSON and exit nonzero instead of hanging forever."""
+    import threading
+
+    t = threading.Timer(
+        RUN_TIMEOUT_S,
+        lambda: _fail_json_and_exit(
+            f"bench run exceeded {RUN_TIMEOUT_S:.0f}s "
+            f"(axon tunnel hang mid-run)"))
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _devices_or_die():
-    """jax.devices() with a watchdog: the axon tunnel has been observed to
-    go fully dark (device init blocks forever — 2026-08-17 outage). The
-    mandatory JSON line must still print, honestly: value null + an error
-    field, never a stale or fabricated number."""
+    """jax.devices() with a tighter watchdog than the whole-run one, so a
+    dark-at-init tunnel (the observed outage mode) fails in 10 min, not 45."""
     import threading
 
     import jax
@@ -62,21 +96,10 @@ def _devices_or_die():
     t.join(DEVICE_INIT_TIMEOUT_S)
     if "devices" in box:
         return box["devices"]
-    err = box.get(
+    _fail_json_and_exit(box.get(
         "error",
         f"TPU device init unresponsive after {DEVICE_INIT_TIMEOUT_S:.0f}s "
-        f"(axon tunnel outage)")
-    print(json.dumps({
-        "metric": "fcn8s_train_images_per_sec_per_chip_1024x512",
-        "value": None,
-        "unit": "images/sec/chip",
-        "vs_baseline": None,
-        "error": err,
-    }))
-    sys.stdout.flush()
-    import os
-
-    os._exit(0)  # the probe thread is stuck in native code; exit hard
+        f"(axon tunnel outage)"))
 
 
 def main():
@@ -310,4 +333,6 @@ def main():
 
 
 if __name__ == "__main__":
+    _watchdog = _arm_run_watchdog()
     main()
+    _watchdog.cancel()

@@ -1086,7 +1086,9 @@ class FCN8s:
         ids to the benchmark's labelId space — defaults to
         ``labels.TRAINIDS_TO_IDS_ARRAY`` for the modified 20-class trainId
         scheme; required explicitly otherwise. Prediction knobs
-        (``use_ema``/``tile``/``tile_blend``) pass through.
+        (``use_ema``/``tile``/``tile_blend``) pass through. ``quiet``
+        (default True) silences the whole pipeline — per-city prediction
+        banners/progress bars AND the scorer's terminal report.
 
         Returns the scorer's result dict (``confMatrix``, ``classScores``,
         ``averageScoreClasses``, ...), also written as JSON to
@@ -1108,6 +1110,26 @@ class FCN8s:
                     "the modified 20-class Cityscapes trainId scheme")
             id_map = TRAINIDS_TO_IDS_ARRAY
 
+        # EvalArgs built directly (NOT via default_args(), which reads the
+        # CITYSCAPES_* env vars — every env-derived field is overridden here,
+        # and a stale CITYSCAPES_EXPORT_DIR must not fail an explicit call).
+        args = pixel_eval.EvalArgs()
+        args.cityscapes_path = dataset_dir
+        args.ground_truth_search = os.path.join(
+            dataset_dir, "gtFine", split, "*", "*_gtFine_labelIds.png")
+        args.prediction_path = results_dir
+        args.eval_inst_level_score = instance_level
+        args.quiet = quiet
+        args.colorized = hasattr(sys.stderr, "isatty") and sys.stderr.isatty()
+        args.export_file = export_file or os.path.join(
+            results_dir, "resultPixelLevelSemanticLabeling.json")
+        # Validate the GT tree BEFORE the (potentially hours-long) inference
+        # pass, so a misnamed/missing gtFine split fails instantly.
+        ground_truths = sorted(glob(args.ground_truth_search))
+        if not ground_truths:
+            raise ValueError(
+                f"no ground truth found under {args.ground_truth_search}")
+
         os.makedirs(results_dir, exist_ok=True)
         for city in sorted(os.listdir(img_root)):
             city_dir = os.path.join(img_root, city)
@@ -1117,22 +1139,9 @@ class FCN8s:
                 results_dir, city_dir, output_format="ids", id_map=id_map,
                 batch_size=batch_size, overwrite_existing=False,
                 use_ema=use_ema, tile=tile, tile_overlap=tile_overlap,
-                tile_blend=tile_blend,
+                tile_blend=tile_blend, verbose=not quiet,
             )
 
-        args = pixel_eval.default_args()
-        args.cityscapes_path = dataset_dir
-        args.ground_truth_search = os.path.join(
-            dataset_dir, "gtFine", split, "*", "*_gtFine_labelIds.png")
-        args.prediction_path = results_dir
-        args.eval_inst_level_score = instance_level
-        args.quiet = quiet
-        args.export_file = export_file or os.path.join(
-            results_dir, "resultPixelLevelSemanticLabeling.json")
-        ground_truths = sorted(glob(args.ground_truth_search))
-        if not ground_truths:
-            raise ValueError(
-                f"no ground truth found under {args.ground_truth_search}")
         predictions = [pixel_eval.get_prediction(args, gt)
                        for gt in ground_truths]
         return pixel_eval.evaluate_img_lists(predictions, ground_truths, args)
@@ -1448,6 +1457,7 @@ class FCN8s:
         output_format="overlay",
         id_map=None,
         use_ema=False,
+        verbose=True,
     ):
         """Segment every image in a directory, overlay, save to disk
         (reference `fcn8s_tensorflow.py:772-855`). ``color_map`` is a dict
@@ -1492,7 +1502,10 @@ class FCN8s:
         tests/test_offline_eval.py::test_closed_loop_scorer_consistency.
 
         ``use_ema=True`` serves the EMA-averaged weights (see
-        ``train(ema_decay=...)``) instead of the live params."""
+        ``train(ema_decay=...)``) instead of the live params.
+
+        ``verbose=False`` suppresses the banner line and the progress bar
+        (library callers that own stdout, e.g. ``score_benchmark(quiet=True)``)."""
         from concurrent.futures import ThreadPoolExecutor
 
         from ..viz.overlay import create_split_view, print_segmentation_onto_image
@@ -1503,7 +1516,8 @@ class FCN8s:
         os.makedirs(results_dir, exist_ok=True)
 
         image_paths = sorted(glob(os.path.join(images_dir, "*." + image_file_extension)))
-        print(f'The segmented images will be saved to "{results_dir}"')
+        if verbose:
+            print(f'The segmented images will be saved to "{results_dir}"')
 
         # Group by output size so each group shares one compiled executable
         # (PIL reads the size from the header without decoding).
@@ -1531,7 +1545,7 @@ class FCN8s:
                   if on_device_overlay and not (tile is not None and tile_blend)
                   else None)
         id_lut = np.asarray(id_map) if id_map is not None else None
-        tr = trange(len(image_paths), file=sys.stdout)
+        tr = trange(len(image_paths), file=sys.stdout, disable=not verbose)
         tr.set_description("Processing images")
         writer = ThreadPoolExecutor(max_workers=4)
         write_futures = []

@@ -314,10 +314,13 @@ def test_closed_loop_scorer_consistency(tmp_path, monkeypatch):
     assert np.nanmean([offline["classScores"][id2label[c].name] for c in (7, 11, 26)]) > 0.3
 
 
-def test_score_benchmark_facade(tmp_path):
+def test_score_benchmark_facade(tmp_path, monkeypatch, capsys):
     """FCN8s.score_benchmark: the predict->export->offline-score chain as
     one call (mechanics only; scorer/streaming agreement is pinned by
-    test_closed_loop_scorer_consistency)."""
+    test_closed_loop_scorer_consistency). Also pins: a stale
+    CITYSCAPES_EXPORT_DIR env var is ignored (EvalArgs is built directly,
+    every env-derived field overridden); quiet=True keeps stdout silent;
+    a missing gtFine tree fails BEFORE any inference runs."""
     import jax.numpy as jnp
 
     from fcn8s_tensorflow_tpu.engine.model import FCN8s
@@ -343,7 +346,11 @@ def test_score_benchmark_facade(tmp_path):
     model = FCN8s(num_classes=NUM_TRAIN_CLASSES, width_mult=1 / 32,
                   fc_channels=32, compute_dtype=jnp.float32)
     results_dir = str(tmp_path / "results")
+    # stale env pointing at a nonexistent export dir must be ignored
+    monkeypatch.setenv("CITYSCAPES_EXPORT_DIR", str(tmp_path / "gone"))
+    capsys.readouterr()  # drain anything buffered before the quiet call
     out = model.score_benchmark(str(ds), results_dir)
+    assert capsys.readouterr().out == ""  # quiet=True covers predict + score
     assert "classScores" in out and "confMatrix" in out
     conf = np.asarray(out["confMatrix"])
     assert conf.sum() == 2 * H * W  # every pixel scored exactly once
@@ -353,4 +360,14 @@ def test_score_benchmark_facade(tmp_path):
     assert len(saved) == 2
     with pytest.raises(ValueError, match="image root"):
         model.score_benchmark(str(tmp_path / "nope"), results_dir)
+    # missing gtFine split: fail fast, BEFORE any prediction is written
+    ds2 = tmp_path / "ds2"
+    img2 = ds2 / "leftImg8bit" / "val" / "synth"
+    img2.mkdir(parents=True)
+    Image.fromarray(rng.integers(0, 255, (H, W, 3), np.uint8)).save(
+        img2 / "synth_000000_000000_leftImg8bit.png")
+    results2 = str(tmp_path / "results2")
+    with pytest.raises(ValueError, match="no ground truth"):
+        model.score_benchmark(str(ds2), results2)
+    assert not os.path.isdir(results2) or not os.listdir(results2)
     model.close()
