@@ -76,18 +76,27 @@ def compose_checkpoint_name(
     return model_name
 
 
-def save_checkpoint(directory: str, state, metadata: dict, *, max_to_keep: int | None = None) -> str:
+def save_checkpoint(directory: str, state, metadata: dict, *, max_to_keep: int | None = None,
+                    ema_params=None) -> str:
     """Serialize a ``TrainState`` (or bare params tree) into ``directory``.
 
     Writes ``checkpoint.msgpack`` + ``metadata.json``. Returns the directory.
     If ``max_to_keep`` is set, oldest sibling checkpoints beyond the limit
     are pruned (by mtime), mirroring ``tf.train.Saver`` semantics.
+
+    ``ema_params``: optional EMA weight-average tree (same structure as the
+    params) — persisted so an interrupted ``train(ema_decay=...)`` resumes
+    its running average instead of silently restarting it from the live
+    params. Optional key: readers treat its absence as "no EMA", so the
+    format version is unchanged.
     """
     os.makedirs(directory, exist_ok=True)
     if hasattr(state, "_asdict"):
         tree = {"step": state.step, "params": state.params, "opt_state": state.opt_state}
     else:
         tree = {"params": state}
+    if ema_params is not None:
+        tree["ema"] = ema_params
     tree = _to_host(tree)
     # Flatten to leaves: arbitrary pytrees (incl. optax NamedTuple states that
     # flax's dict conversion rejects) serialize as a leaf list; restore
@@ -98,6 +107,8 @@ def save_checkpoint(directory: str, state, metadata: dict, *, max_to_keep: int |
     if "step" in tree:
         payload["step"] = tree["step"]
         payload["opt_leaves"] = jax.tree.leaves(tree["opt_state"])
+    if "ema" in tree:
+        payload["ema_leaves"] = jax.tree.leaves(tree["ema"])
     with open(os.path.join(directory, "checkpoint.msgpack"), "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
     metadata = dict(metadata)
@@ -130,7 +141,7 @@ def _prune_old_checkpoints(parent: str, max_to_keep: int) -> None:
 
 
 def save_checkpoint_async(directory: str, state, metadata: dict, *,
-                          max_to_keep: int | None = None):
+                          max_to_keep: int | None = None, ema_params=None):
     """Non-blocking ``save_checkpoint``: snapshot the (possibly donated)
     device state with an on-device copy — async dispatch, so the train loop
     keeps stepping — then run the D2H gather + serialization on a writer
@@ -147,15 +158,22 @@ def save_checkpoint_async(directory: str, state, metadata: dict, *,
     so a crash mid-save never leaves a half-written "latest" checkpoint
     (``latest_checkpoint`` only sees completed ones).
     """
-    snapshot = jax.tree.map(
-        lambda x: jnp_copy(x) if isinstance(x, jax.Array) else x, state
-    )
+    def _snap(tree):
+        return jax.tree.map(
+            lambda x: jnp_copy(x) if isinstance(x, jax.Array) else x, tree
+        )
+
+    snapshot = _snap(state)
+    # the EMA buffer is donated by every _update_ema step, so it needs the
+    # same pin-a-consistent-copy treatment as the train state
+    ema_snapshot = _snap(ema_params) if ema_params is not None else None
 
     def _write():
         try:
             tmp = directory.rstrip("/") + ".tmp"
             old = directory.rstrip("/") + ".old"
-            save_checkpoint(tmp, snapshot, metadata, max_to_keep=None)
+            save_checkpoint(tmp, snapshot, metadata, max_to_keep=None,
+                            ema_params=ema_snapshot)
             # Crash-safe replace of an existing checkpoint at this path:
             # rename the old one ASIDE first (atomic), then promote the new
             # one (atomic), then delete the old. At every instant either the
@@ -222,6 +240,9 @@ def load_checkpoint(directory: str, example_tree):
     if "step" in example_tree:
         out["step"] = raw["step"]
         out["opt_state"] = _unflatten_like(example_tree["opt_state"], raw["opt_leaves"])
+    # EMA average (same treedef as params); absent in pre-EMA checkpoints
+    out["ema"] = (_unflatten_like(example_tree["params"], raw["ema_leaves"])
+                  if "ema_leaves" in raw else None)
     return out
 
 
@@ -276,7 +297,8 @@ def describe_checkpoint(directory: str) -> str:
         if key in meta:
             lines.append(f"  {key}: {meta[key]}")
     lines.append(f"  params: {len(leaves)} leaves, {n_params:,} values"
-                 + (", + optimizer state" if "opt_leaves" in raw else ""))
+                 + (", + optimizer state" if "opt_leaves" in raw else "")
+                 + (", + EMA average" if "ema_leaves" in raw else ""))
     paths = meta.get("param_paths") or []
     for p, x in zip(paths, leaves):
         lines.append(f"    {p:<45} {tuple(np.shape(x))}")

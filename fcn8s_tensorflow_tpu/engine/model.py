@@ -81,7 +81,10 @@ class FCN8s:
             params only (the reference's ``tf.train.Saver`` restore, `:122-125`).
         mesh: a ``jax.sharding.Mesh`` (defaults to all devices on one 'data'
             axis); tensor_parallel: shard fc6/fc7 over the 'model' axis.
-        compute_dtype: activation dtype (bfloat16 default — fp32 MXU accum).
+        compute_dtype: activation dtype. Default None = bfloat16 for fresh
+            builds (fp32 MXU accum), or the checkpoint's own recorded dtype
+            when restoring via ``model_load_dir`` (a resumed fp32 run keeps
+            fp32); pass a dtype explicitly to override either.
         keep_prob / l2 are per-call args like the reference's placeholders.
         ignore_label: optional GT id excluded from the loss mean (with
             exactly-zero gradients) and, structurally, from the streaming
@@ -117,7 +120,7 @@ class FCN8s:
         *,
         mesh=None,
         tensor_parallel=False,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=None,
         width_mult=1.0,
         fc_channels=None,
         bilinear_deconv_init=False,
@@ -140,7 +143,6 @@ class FCN8s:
         self.variables_load_dir = variables_load_dir
         self.mesh = mesh if mesh is not None else create_mesh()
         self.tensor_parallel = tensor_parallel
-        self.compute_dtype = compute_dtype
         self.remat = remat  # jax.checkpoint on encoder blocks (big batch/res)
 
         if model_load_dir is not None:
@@ -151,6 +153,12 @@ class FCN8s:
             fc_channels = cfg.get("fc_channels")
             variant = cfg.get("variant", "fcn8s")
             ignore_label = cfg.get("ignore_label")
+            if compute_dtype is None:
+                # restore the checkpoint's own compute dtype — a resumed fp32
+                # run must not silently flip to the bf16 default (pre-field
+                # checkpoints were all bf16); pass compute_dtype= to override
+                compute_dtype = jnp.dtype(
+                    cfg.get("compute_dtype", "bfloat16")).type
             # The optimizer state in the checkpoint only deserializes into
             # the matching transformation — rebuild from the saved config
             # (pre-optimizer-config checkpoints were all TF1-Adam).
@@ -171,6 +179,8 @@ class FCN8s:
             optimizer_kwargs = cfg.get("optimizer_kwargs")
             clip_norm = cfg.get("clip_norm")
 
+        self.compute_dtype = (jnp.bfloat16 if compute_dtype is None
+                              else compute_dtype)
         self.num_classes = num_classes
         self.variant = variant
         self.ignore_label = ignore_label
@@ -180,6 +190,7 @@ class FCN8s:
             "fc_channels": fc_channels,
             "variant": variant,
             "ignore_label": ignore_label,
+            "compute_dtype": jnp.dtype(self.compute_dtype).name,
             "optimizer": optimizer if isinstance(optimizer, str) else "custom",
             "optimizer_kwargs": optimizer_kwargs,
             "clip_norm": clip_norm,
@@ -213,6 +224,7 @@ class FCN8s:
             self.optimizer = optimizer
         self.state = create_train_state(params, self.optimizer)
 
+        restored_ema = None
         if model_load_dir is not None:
             example = {
                 "step": self.state.step,
@@ -225,6 +237,7 @@ class FCN8s:
                 params=restored["params"],
                 opt_state=restored["opt_state"],
             )
+            restored_ema = restored.get("ema")
         else:
             # Fresh build: pretrained encoder first, then (optionally) a
             # variables restore on top — the reference's ordering
@@ -251,7 +264,10 @@ class FCN8s:
         self._predict_steps = {}
         self._tta_steps = {}
         self._summary_logger = None
-        self._ema_params = None
+        # EMA average persists in checkpoints: a resumed train(ema_decay=...)
+        # continues the running average instead of restarting it from the
+        # live params (tests/test_ema.py::test_ema_checkpoint_roundtrip)
+        self._ema_params = restored_ema
         self._ema_fn = None
 
     # ------------------------------------------------------------------
@@ -586,6 +602,9 @@ class FCN8s:
         ``train`` calls. Evaluate/serve the averaged weights via
         ``use_ema=True`` on predict/predict_tta/evaluate, or make them
         permanent with ``adopt_ema()`` (then ``save()`` persists them).
+        The running average itself is checkpointed alongside the params,
+        so ``FCN8s.resume`` / ``model_load_dir`` continue it rather than
+        restarting the average from the live weights.
 
         ``class_weights`` (TPU-native extra, beyond the reference): an
         ``(num_classes,)`` per-class loss weight vector — the training and
@@ -1718,10 +1737,12 @@ class FCN8s:
         }
         self._join_pending_save()
         if block:
-            ckpt.save_checkpoint(directory, self.state, metadata, max_to_keep=5)
+            ckpt.save_checkpoint(directory, self.state, metadata, max_to_keep=5,
+                                 ema_params=self._ema_params)
         else:
             self._save_thread = ckpt.save_checkpoint_async(
-                directory, self.state, metadata, max_to_keep=5
+                directory, self.state, metadata, max_to_keep=5,
+                ema_params=self._ema_params,
             )
         self.variables_updated = False
         return directory

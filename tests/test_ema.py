@@ -114,6 +114,58 @@ def test_use_ema_serving_and_adopt():
         _ = model.ema_params
 
 
+def test_ema_checkpoint_roundtrip(tmp_path):
+    """The EMA average persists in checkpoints: a resumed train(ema_decay=...)
+    continues the running average (same recurrence as the uninterrupted run)
+    instead of re-seeding it from the live params."""
+    images, labels = _toy_batch()
+
+    # uninterrupted: 3 EMA steps
+    ref = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    _train_steps(ref, _repeat(images, labels), 3)
+    ref_ema = _host_tree(ref.ema_params)
+
+    # interrupted twin: 2 steps -> save -> resume -> 1 step
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    _train_steps(model, _repeat(images, labels), 2)
+    saved_ema = _host_tree(model.ema_params)
+    path = model.save(str(tmp_path), force_save=True)
+    resumed = FCN8s.resume(str(tmp_path))
+    # the checkpoint's compute dtype is restored too (an fp32-trained model
+    # must not silently resume in bf16 — that skews the continued steps)
+    assert resumed.compute_dtype == model.compute_dtype
+    jax.tree.map(
+        np.testing.assert_array_equal, _host_tree(resumed.ema_params), saved_ema
+    )
+    _train_steps(resumed, _repeat(images, labels), 1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=0, atol=1e-6),
+        _host_tree(resumed.ema_params), ref_ema,
+    )
+
+    # async save carries the EMA too (donated buffer is snapshot-copied)
+    resumed.save(str(tmp_path), name="async", force_save=True, block=False)
+    resumed._join_pending_save()
+    again = FCN8s.resume(str(tmp_path))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=0, atol=1e-6),
+        _host_tree(again.ema_params), ref_ema,
+    )
+
+    # pre-EMA checkpoints (no ema_leaves) restore with no EMA state
+    plain = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    plain.train(
+        train_generator=_repeat(images, labels), epochs=1, steps_per_epoch=1,
+        learning_rate_schedule=constant(2e-3), keep_prob=1.0, metrics=set(),
+        eval_frequency=10**9, eval_dataset="train", record_summaries=False,
+    )
+    p = plain.save(str(tmp_path / "plain"), force_save=True)
+    loaded = FCN8s(model_load_dir=p)
+    with pytest.raises(ValueError, match="No EMA params"):
+        loaded.predict(images, use_ema=True)
+    del path
+
+
 def test_ema_validation():
     model = FCN8s(num_classes=NUM_CLASSES, **TINY)
     images, labels = _toy_batch()
