@@ -225,6 +225,7 @@ class FCN8s:
         self.state = create_train_state(params, self.optimizer)
 
         restored_ema = None
+        restored_observer = {}
         if model_load_dir is not None:
             example = {
                 "step": self.state.step,
@@ -238,6 +239,7 @@ class FCN8s:
                 opt_state=restored["opt_state"],
             )
             restored_ema = restored.get("ema")
+            restored_observer = meta.get("train_observer") or {}
         else:
             # Fresh build: pretrained encoder first, then (optionally) a
             # variables restore on top — the reference's ordering
@@ -269,6 +271,10 @@ class FCN8s:
         # live params (tests/test_ema.py::test_ema_checkpoint_roundtrip)
         self._ema_params = restored_ema
         self._ema_fn = None
+        # Plateau-annealer / early-stopping counters from an interrupted run:
+        # carried in the manifest, continued by the next train() call only
+        self._observer_state = dict(restored_observer)
+        self._observer_pending = dict(restored_observer)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -638,6 +644,13 @@ class FCN8s:
         never floored. Each reduction resets the stall counter. Composes
         with ``early_stopping`` (independent counters).
 
+        Both observers' counters (cumulative LR scale, best values, stall
+        counts) are written into checkpoint manifests, and the FIRST
+        ``train`` call on a model restored via ``resume``/``model_load_dir``
+        continues them — an interrupted plateau-annealed run resumes at its
+        reduced LR, not the base schedule. Subsequent ``train`` calls start
+        the counters fresh (each call is a new annealing run).
+
         ``train_log``: path to a JSONL file; appends one record per epoch
         (epoch, global_step, training_loss, learning_rate, any measured
         eval metrics, wall-clock time) — a grep/pandas-friendly sidecar to
@@ -678,11 +691,19 @@ class FCN8s:
                     f"eval_frequency so the monitor is ever measured")
             return out
 
+        # Counters staged by a checkpoint restore (train_observer manifest
+        # key): the first train() call on a resumed model continues the
+        # in-progress annealer/patience state; later calls start fresh
+        # (consume-once — tests/test_engine.py pins both behaviors).
+        pending_observer = getattr(self, "_observer_pending", None) or {}
+        self._observer_pending = {}
+        lr_scale = 1.0  # cumulative plateau factor; 1.0 when disabled
         if early_stopping is not None:
             es_cfg = _observer_cfg(early_stopping, "early_stopping",
                                    {"min_delta": 0.0})
             es_patience, es_min_delta = es_cfg["patience"], es_cfg["min_delta"]
-            es_best, es_stale = None, 0
+            es_best = pending_observer.get("es_best")
+            es_stale = int(pending_observer.get("es_stale", 0))
         if reduce_lr_on_plateau is not None:
             rp_cfg = _observer_cfg(
                 reduce_lr_on_plateau, "reduce_lr_on_plateau",
@@ -692,8 +713,9 @@ class FCN8s:
             if not 0.0 < rp_factor < 1.0:
                 raise ValueError(
                     f"reduce_lr_on_plateau factor must be in (0, 1), got {rp_factor}")
-            rp_best, rp_stale = None, 0
-        lr_scale = 1.0  # cumulative plateau factor; 1.0 when disabled
+            rp_best = pending_observer.get("rp_best")
+            rp_stale = int(pending_observer.get("rp_stale", 0))
+            lr_scale = float(pending_observer.get("lr_scale", 1.0))
 
         def _improved(obs, best, delta):
             """Lower-is-better for loss, higher otherwise; first
@@ -895,6 +917,7 @@ class FCN8s:
                             print(f"Plateau: '{monitor}' stalled "
                                   f"{rp_patience} observations — learning "
                                   f"rate scaled to {learning_rate:.3e}.")
+                stop_early = False
                 if obs is not None and early_stopping is not None:
                     if _improved(obs, es_best, es_min_delta):
                         es_best, es_stale = obs, 0
@@ -904,7 +927,18 @@ class FCN8s:
                             print(f"Early stopping: '{monitor}' has not "
                                   f"improved in {es_stale} observations "
                                   f"(best {es_best:.6f}).")
-                            break
+                            stop_early = True
+                # live counters -> checkpointable state (save() persists it;
+                # a restore stages it for the next train() call to continue)
+                observer_state = {}
+                if reduce_lr_on_plateau is not None:
+                    observer_state.update(
+                        lr_scale=lr_scale, rp_best=rp_best, rp_stale=rp_stale)
+                if early_stopping is not None:
+                    observer_state.update(es_best=es_best, es_stale=es_stale)
+                self._observer_state = observer_state
+                if stop_early:
+                    break
 
         if logger is not None:
             logger.flush()
@@ -1735,6 +1769,10 @@ class FCN8s:
             "metrics": metric_values or {},
             "saved_at": time.time(),
         }
+        if getattr(self, "_observer_state", None):
+            # in-progress plateau/early-stopping counters, so a resumed run
+            # continues the annealed LR scale and patience windows
+            metadata["train_observer"] = dict(self._observer_state)
         self._join_pending_save()
         if block:
             ckpt.save_checkpoint(directory, self.state, metadata, max_to_keep=5,

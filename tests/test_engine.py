@@ -789,6 +789,49 @@ def test_reduce_lr_on_plateau(tmp_path):
 
 
 @pytest.mark.slow
+def test_plateau_state_resumes_from_checkpoint(tmp_path):
+    """The plateau annealer's cumulative LR scale + patience counters ride
+    the checkpoint manifest: the first train() on a resumed model continues
+    them; a second train() call starts fresh (consume-once)."""
+    import json
+
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch()
+    plateau = {"patience": 2, "factor": 0.5, "min_delta": 10.0}
+    model.train(train_generator=_repeat_batches(images, labels), epochs=6,
+                steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+                keep_prob=1.0, record_summaries=False, eval_frequency=None,
+                reduce_lr_on_plateau=plateau)
+    # two reductions fired (epochs 3 and 5): cumulative scale 0.25
+    assert model._observer_state["lr_scale"] == pytest.approx(0.25)
+    model.save(str(tmp_path), force_save=True)
+
+    resumed = FCN8s.resume(str(tmp_path))
+    log_path = str(tmp_path / "resumed.jsonl")
+    resumed.train(train_generator=_repeat_batches(images, labels), epochs=2,
+                  steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+                  keep_prob=1.0, record_summaries=False, eval_frequency=None,
+                  reduce_lr_on_plateau=plateau, train_log=log_path)
+    lrs = [json.loads(line)["learning_rate"] for line in open(log_path)]
+    # epoch 1 runs at the restored annealed scale (0.25 -> 2.5e-4); the
+    # restored stall counter (1, from epoch 6) plus epoch 1's stale
+    # observation hits patience=2, so epoch 2 runs reduced again (1.25e-4)
+    # — exactly the LR sequence an uninterrupted 8-epoch run would produce
+    np.testing.assert_allclose(lrs, [2.5e-4, 1.25e-4])
+
+    # consume-once: the NEXT train call starts a fresh annealing run
+    log2 = str(tmp_path / "fresh.jsonl")
+    resumed.train(train_generator=_repeat_batches(images, labels), epochs=1,
+                  steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+                  keep_prob=1.0, record_summaries=False, eval_frequency=None,
+                  reduce_lr_on_plateau=plateau, train_log=log2)
+    lrs2 = [json.loads(line)["learning_rate"] for line in open(log2)]
+    np.testing.assert_allclose(lrs2, [1e-3])
+    resumed.close()
+    model.close()
+
+
+@pytest.mark.slow
 def test_plateau_min_lr_does_not_floor_base_schedule(tmp_path):
     """Keras semantics: min_lr bounds reductions only — a base schedule
     already below min_lr must pass through untouched when no reduction
