@@ -277,6 +277,18 @@ class FCN8s:
         self._observer_pending = dict(restored_observer)
 
     # ------------------------------------------------------------------
+    def summary(self, input_hw=(1024, 512), batch: int = 1) -> str:
+        """Per-layer report: kernel/output shapes, params, forward MACs,
+        activation bytes, with model totals (utils/summary.py — computed
+        analytically from the param tree, no device work). Beyond the
+        reference's 20 TensorBoard weight histograms
+        (`fcn8s_tensorflow.py:324-369`): answers where the FLOPs and the
+        activation HBM actually go at a given resolution."""
+        from ..utils.summary import model_summary
+
+        return model_summary(self.state.params, input_hw, batch)
+
+    # ------------------------------------------------------------------
     @classmethod
     def resume(cls, save_dir: str, **kwargs) -> "FCN8s":
         """Resume from the most recent checkpoint under ``save_dir`` (the

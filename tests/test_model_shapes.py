@@ -194,3 +194,52 @@ class TestFCNVariants:
         assert reloaded.variant == "fcn16s"
         np.testing.assert_array_equal(pred, reloaded.predict(images))
         model.close(), reloaded.close()
+
+
+class TestModelSummary:
+    """utils/summary.py — analytic layer report (params/MACs/activations)."""
+
+    def test_totals_match_param_tree(self):
+        from fcn8s_tensorflow_tpu.utils.summary import model_summary_rows
+
+        for variant in ("fcn8s", "fcn16s", "fcn32s"):
+            params = init_fcn8s(jax.random.PRNGKey(0), 5, width_mult=1 / 16,
+                                fc_channels=48, variant=variant)
+            rows = model_summary_rows(params, (64, 96), batch=2)
+            assert sum(r["params"] for r in rows) == sum(
+                int(np.prod(np.shape(x))) for x in jax.tree.leaves(params))
+
+    def test_hand_computed_macs_and_shapes(self):
+        from fcn8s_tensorflow_tpu.utils.summary import model_summary_rows
+
+        params = init_fcn8s(jax.random.PRNGKey(0), 4, width_mult=1 / 16,
+                            fc_channels=32)
+        rows = {r["name"]: r for r in model_summary_rows(params, (64, 96), batch=2)}
+        # conv1_1: 3x3x3x8 kernel at full res, batch 2
+        c = rows["conv1_1"]
+        assert c["kernel"] == (3, 3, 3, 8) and c["output"] == (64, 96, 8)
+        assert c["macs"] == 2 * 64 * 96 * 3 * 3 * 3 * 8
+        assert c["act_bytes"] == 2 * 64 * 96 * 8 * 2  # bf16
+        # fc6: 7x7 conv at stride 32
+        f = rows["fc6"]
+        assert f["output"] == (2, 3, 32)
+        assert f["macs"] == 2 * 2 * 3 * 7 * 7 * 32 * 32
+        # final deconv: per-INPUT-pixel kernel cost, output at full res
+        d = rows["fc7_pool4_pool3_deconv"]
+        assert d["kernel"] == (16, 16, 4, 4) and d["output"] == (64, 96, 4)
+        assert d["macs"] == 2 * (64 // 8) * (96 // 8) * 16 * 16 * 4 * 4
+        # forward order preserved
+        names = [r["name"] for r in model_summary_rows(params, (64, 96))]
+        assert names[0] == "conv1_1" and names[-1] == "fc7_pool4_pool3_deconv"
+
+    def test_facade_summary_string(self):
+        from fcn8s_tensorflow_tpu.engine.model import FCN8s
+
+        model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
+                      compute_dtype=jnp.float32)
+        text = model.summary(input_hw=(64, 96), batch=1)
+        assert "conv1_1" in text and "fc7" in text and "params" in text
+        assert "fcn8s" in text
+        with pytest.raises(ValueError, match="divisible by 32"):
+            model.summary(input_hw=(65, 96))
+        model.close()
