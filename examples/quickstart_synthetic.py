@@ -84,6 +84,7 @@ def main():
     )
 
     model = FCN8s(num_classes=NUM_TRAIN_CLASSES, **model_kwargs)
+    print(model.summary(input_hw=(64, 128), batch=4))  # where FLOPs/HBM go
     model.train(
         train_generator=train_it,
         epochs=2,

@@ -1,5 +1,6 @@
 """VGG-16 pretrained weight import: layout conversion + end-to-end restore."""
 
+import os
 import sys
 
 import numpy as np
@@ -168,3 +169,37 @@ def test_tf_savedmodel_roundtrip(tmp_path, rng_module):
     np.testing.assert_array_equal(
         np.asarray(model.state.params["encoder"]["fc6"]["bias"]), sources["fc6"][1]
     )
+
+
+def test_orbax_interop_roundtrip(tmp_path):
+    """tools/orbax_interop.py: our checkpoint -> orbax PyTree checkpoint ->
+    params-only checkpoint, bit-exact through the facade (the JAX-ecosystem
+    portability path; the reference's analog is its SavedModel/Saver pair)."""
+    import jax.numpy as jnp
+    import orbax_interop
+
+    from fcn8s_tensorflow_tpu.engine.model import FCN8s
+
+    model = FCN8s(num_classes=4, width_mult=1 / 16, fc_channels=32,
+                  compute_dtype=jnp.float32)
+    images = np.zeros((1, 32, 64, 3), np.uint8)
+    images[:, :, 32:] = 255
+    pred = model.predict(images, argmax=False)
+    model.variables_updated = True
+    src = model.save(str(tmp_path / "native"), force_save=True)
+
+    orbax_dir = orbax_interop.export_params_to_orbax(
+        src, str(tmp_path / "orbax"))
+    assert os.path.isfile(os.path.join(orbax_dir, orbax_interop.MANIFEST_NAME))
+    back = orbax_interop.import_params_from_orbax(
+        orbax_dir, str(tmp_path / "back"))
+
+    # params-only restore into a freshly-configured model: identical logits
+    twin = FCN8s(num_classes=4, width_mult=1 / 16, fc_channels=32,
+                 compute_dtype=jnp.float32, variables_load_dir=back)
+    np.testing.assert_array_equal(np.asarray(pred),
+                                  np.asarray(twin.predict(images, argmax=False)))
+    # the sidecar manifest preserves model_config for provenance
+    from fcn8s_tensorflow_tpu.engine import checkpoint as ckpt
+    assert ckpt.load_metadata(back)["model_config"]["num_classes"] == 4
+    model.close(), twin.close()
