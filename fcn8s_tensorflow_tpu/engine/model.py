@@ -957,6 +957,80 @@ class FCN8s:
         self._close_train_stream()
         self._join_pending_save()  # don't return with a checkpoint mid-write
 
+    # ------------------------------------------------------------------
+    def find_learning_rate(self, train_generator, *, min_lr=1e-7, max_lr=1.0,
+                           steps=50, keep_prob=1.0, l2_regularization=0.0,
+                           smoothing=0.9, divergence_factor=4.0):
+        """LR range test (Smith 2015, arXiv:1506.01186 §3.3) — beyond the
+        reference, whose tutorial hand-picks the 1e-4 schedule. Sweeps the
+        learning rate exponentially from ``min_lr`` to ``max_lr`` over
+        ``steps`` real optimizer steps, recording the loss; stops early when
+        the smoothed loss diverges past ``divergence_factor`` × its best.
+
+        A natural fit for this engine: the LR is a traced scalar in the one
+        compiled train step (parallel/steps.py), so the whole sweep reuses a
+        single executable — the TF1 equivalent would feed a placeholder, the
+        naive JAX port would recompile per value.
+
+        The model is left EXACTLY as found: the full ``TrainState`` (params,
+        optimizer state, step) is snapshot with device-side copies before
+        the sweep and restored after, so this can run on a live model at any
+        point. EMA/observer state is untouched (no updates are recorded).
+
+        Returns ``{"learning_rates": [...], "losses": [...], "smoothed":
+        [...], "suggestion": float}`` — ``suggestion`` is the LR at the
+        steepest descent of the smoothed curve (the usual pick; inspect the
+        curve before trusting it blindly)."""
+        import math
+
+        if not (0.0 < min_lr < max_lr):
+            raise ValueError(f"need 0 < min_lr < max_lr, got {min_lr}, {max_lr}")
+        if steps < 2:
+            raise ValueError(f"steps must be >= 2, got {steps}")
+        snapshot = jax.tree.map(ckpt.jnp_copy, self.state)
+        was_dirty = self.variables_updated
+        stream = self._make_train_stream(train_generator, prefetch=0)
+        lrs, losses, smoothed = [], [], []
+        avg, best = 0.0, math.inf
+        try:
+            for i in range(steps):
+                lr = min_lr * (max_lr / min_lr) ** (i / (steps - 1))
+                im_d, lb_d, mask_d = next(stream)
+                step_fn = self._get_train_step(im_d.shape)
+                self.state, loss = step_fn(
+                    self.state, im_d, lb_d, mask_d, self._train_rng,
+                    lr, l2_regularization, keep_prob,
+                )
+                loss = float(loss)
+                lrs.append(lr)
+                losses.append(loss)
+                avg = smoothing * avg + (1.0 - smoothing) * loss
+                debiased = avg / (1.0 - smoothing ** (i + 1))
+                smoothed.append(debiased)
+                if math.isfinite(debiased):
+                    best = min(best, debiased)
+                if not math.isfinite(loss) or (
+                        i >= 10 and debiased > divergence_factor * best):
+                    break
+        finally:
+            self._close_train_stream()
+            self.state = snapshot  # sweep leaves no trace
+            self.variables_updated = was_dirty
+        # steepest descent of the smoothed curve over log-spaced LRs (equal
+        # log spacing -> the index of the most negative finite difference)
+        diffs = [b - a for a, b in zip(smoothed, smoothed[1:])
+                 if math.isfinite(a) and math.isfinite(b)]
+        if diffs and min(diffs) < 0:
+            idx = min(range(len(smoothed) - 1),
+                      key=lambda j: (smoothed[j + 1] - smoothed[j]
+                                     if math.isfinite(smoothed[j + 1] - smoothed[j])
+                                     else math.inf))
+            suggestion = lrs[idx]
+        else:
+            suggestion = min_lr  # nothing descended: sweep range is too hot
+        return {"learning_rates": lrs, "losses": losses,
+                "smoothed": smoothed, "suggestion": float(suggestion)}
+
     def _make_train_stream(self, train_generator, prefetch: int):
         """Iterator of device-resident (images, label_ids, mask) triples.
 

@@ -860,3 +860,36 @@ def test_predict_and_save_tile_blend_requires_tile(trained_model, tmp_path):
     with pytest.raises(ValueError, match="tile_blend requires"):
         model.predict_and_save(str(tmp_path / "o"), str(img_dir), cmap,
                                tile_blend=True)
+
+
+def test_find_learning_rate(tmp_path):
+    """LR range test: exponential sweep on the real train step, model state
+    bit-restored afterwards, steepest-descent suggestion inside the range."""
+    import jax
+
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch()
+    before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                          {"p": model.state.params, "o": model.state.opt_state,
+                           "s": model.state.step})
+    res = model.find_learning_rate(
+        _repeat_batches(images, labels), min_lr=1e-6, max_lr=1e-1, steps=12)
+    n = len(res["learning_rates"])
+    assert 2 <= n <= 12
+    assert res["learning_rates"][0] == pytest.approx(1e-6)
+    assert all(a < b for a, b in zip(res["learning_rates"],
+                                     res["learning_rates"][1:]))
+    assert len(res["losses"]) == len(res["smoothed"]) == n
+    assert 1e-6 <= res["suggestion"] <= 1e-1
+    # the sweep leaves no trace: full TrainState bit-restored
+    after = {"p": model.state.params, "o": model.state.opt_state,
+             "s": model.state.step}
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+                 before, after)
+    assert not model.variables_updated
+    with pytest.raises(ValueError, match="min_lr"):
+        model.find_learning_rate(_repeat_batches(images, labels),
+                                 min_lr=1e-3, max_lr=1e-4)
+    with pytest.raises(ValueError, match="steps"):
+        model.find_learning_rate(_repeat_batches(images, labels), steps=1)
+    model.close()
