@@ -6,11 +6,15 @@ checkpoint (`/root/reference/fcn8s_tensorflow.py:72-101,122-125`; SURVEY.md
 a crashed multi-host run restarted from its last checkpoint reproduces the
 uninterrupted run EXACTLY, because
 
-* the checkpoint carries step + params + full TF1-Adam state
-  (engine/checkpoint.py),
+* the checkpoint carries step + params + full TF1-Adam state + the EMA
+  weight average (engine/checkpoint.py),
 * the per-step dropout/augment RNG folds the global step into one run key
   (parallel/steps.py: ``fold_in(rng, state.step)``), so replayed steps draw
   identical randomness.
+
+The bit-exactness fingerprint covers BOTH the final params and the final
+EMA average (decay 0.9 maintained every step), so a restart that restored
+the weights but silently re-seeded the EMA would fail the check.
 
 Scenario (all on one machine; localhost = DCN stand-in):
 
@@ -77,6 +81,7 @@ def child(process_id: int, mode: str, workdir: str) -> None:
     state = create_train_state(params, optimizer)
 
     start_step = 0
+    ema = None
     if mode == "resume":
         restore_dir = os.path.join(workdir, f"ckpt_step{CRASH_AFTER}")
         example = {"step": state.step, "params": state.params,
@@ -92,6 +97,8 @@ def child(process_id: int, mode: str, workdir: str) -> None:
 
         state = TrainState(step=put(restored["step"]), params=put(restored["params"]),
                            opt_state=put(restored["opt_state"]))
+        assert restored["ema"] is not None, "checkpoint must carry the EMA tree"
+        ema = put(restored["ema"])
         start_step = int(restored["step"])
         assert start_step == CRASH_AFTER
 
@@ -118,18 +125,25 @@ def child(process_id: int, mode: str, workdir: str) -> None:
             os._exit(17)  # simulated host loss: no cleanup, no goodbye
         im, lb, mk = batch_for(step_i)
         state, loss = step_fn(state, im, lb, mk, run_key, 1e-3, 0.0, 1.0)
+        # EMA average rides the run (and the checkpoint): seeded at the first
+        # step, then ema = 0.9*ema + 0.1*params — engine/model.py semantics
+        ema = (jax.tree.map(jnp.copy, state.params) if ema is None else
+               jax.tree.map(lambda e, p: e * 0.9 + p * 0.1, ema, state.params))
         loss = float(loss)  # sync every step so the crash lands deterministically
         print(f"process {process_id}: step {step_i} loss={loss:.6f}", flush=True)
         if step_i + 1 in (CRASH_AFTER, TOTAL_STEPS) and process_id == 0:
             ckpt.save_checkpoint(
                 os.path.join(workdir, f"ckpt_step{step_i + 1}"), state,
                 {"global_step": step_i + 1, "mode": mode},
+                ema_params=ema,
             )
     if process_id == 0:
-        # host-gathered final params fingerprint for the bit-exactness check
+        # host-gathered final params+EMA fingerprint for the bit-exactness
+        # check (EMA included: a restart that re-seeded the average from the
+        # live params would differ here even with identical weights)
         flat = np.concatenate([
             np.asarray(jax.device_get(x)).ravel().view(np.uint8)
-            for x in jax.tree.leaves(state.params)
+            for x in jax.tree.leaves(state.params) + jax.tree.leaves(ema)
         ])
         np.save(os.path.join(workdir, f"final_params_{mode}.npy"), flat)
     print(f"process {process_id}: {mode} run complete", flush=True)
