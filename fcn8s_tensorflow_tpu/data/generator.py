@@ -57,6 +57,67 @@ def _imwrite(path: str, arr: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+def apply_augmentations(
+    image,
+    gt_image,
+    prng,
+    *,
+    random_crop=False,
+    crop=False,
+    resize=False,
+    brightness=False,
+    contrast=False,
+    saturation=False,
+    hue=False,
+    gamma=False,
+    flip=False,
+    translate=False,
+    scale=False,
+    gray=False,
+    void_class_id=None,
+):
+    """The reference's per-image dynamic transform pipeline, in its exact
+    order and with its exact random-draw sequence
+    (`/root/reference/data_generator/batch_generator.py:268-387`), as one
+    shared function: ``BatchGenerator.generate`` and
+    ``PackedDataset.generate`` both run THIS code, so a given ``(seed,
+    image order)`` produces byte-identical augmented batches from either
+    storage backend (pinned by tests/test_packed.py)."""
+    if random_crop:
+        image, gt_image = augment.random_crop_with_void(
+            prng, image, gt_image, random_crop, void_class_id
+        )
+    if crop:
+        image, gt_image = augment.fixed_crop(image, gt_image, crop)
+    if resize:
+        image, gt_image = augment.resize_pair(image, gt_image, resize)
+    if brightness and prng.random() >= (1 - brightness[2]):
+        image = augment.brightness_hsv(prng, image, brightness[0], brightness[1])
+    # beyond-reference photometric extras (device twins in
+    # ops/augment_device.py), applied after brightness
+    if contrast and prng.random() >= (1 - contrast[2]):
+        image = augment.contrast(prng, image, contrast[0], contrast[1])
+    if saturation and prng.random() >= (1 - saturation[2]):
+        image = augment.saturation(prng, image, saturation[0], saturation[1])
+    if hue and prng.random() >= (1 - hue[1]):
+        image = augment.hue_rotate(prng, image, hue[0])
+    if gamma and prng.random() >= (1 - gamma[2]):
+        image = augment.gamma(prng, image, gamma[0], gamma[1])
+    if flip and prng.random() >= (1 - flip):
+        image, gt_image = augment.horizontal_flip(image, gt_image)
+    if translate and prng.random() >= (1 - translate[2]):
+        image, gt_image = augment.translate(
+            prng, image, gt_image, translate[0], translate[1], void_class_id
+        )
+    if scale and prng.random() >= (1 - scale[2]):
+        image, gt_image = augment.scale_zoom(
+            prng, image, gt_image, scale[0], scale[1], void_class_id
+        )
+    if gray:
+        image = augment.grayscale(image)
+    return image, gt_image
+
+
 class BatchGenerator:
     """See module docstring. Constructor arguments match the reference
     (`batch_generator.py:16-130`)."""
@@ -334,39 +395,16 @@ class BatchGenerator:
                             elif isinstance(convert_ids_to_ids, dict):
                                 gt_image = _remap_ids_dict(gt_image, convert_ids_to_ids)
 
-                    # --- augmentation pipeline, reference order ---
-                    if random_crop:
-                        image, gt_image = augment.random_crop_with_void(
-                            prng, image, gt_image, random_crop, void_class_id
-                        )
-                    if crop:
-                        image, gt_image = augment.fixed_crop(image, gt_image, crop)
-                    if resize:
-                        image, gt_image = augment.resize_pair(image, gt_image, resize)
-                    if brightness and prng.random() >= (1 - brightness[2]):
-                        image = augment.brightness_hsv(prng, image, brightness[0], brightness[1])
-                    # beyond-reference photometric extras (device twins in
-                    # ops/augment_device.py), applied after brightness
-                    if contrast and prng.random() >= (1 - contrast[2]):
-                        image = augment.contrast(prng, image, contrast[0], contrast[1])
-                    if saturation and prng.random() >= (1 - saturation[2]):
-                        image = augment.saturation(prng, image, saturation[0], saturation[1])
-                    if hue and prng.random() >= (1 - hue[1]):
-                        image = augment.hue_rotate(prng, image, hue[0])
-                    if gamma and prng.random() >= (1 - gamma[2]):
-                        image = augment.gamma(prng, image, gamma[0], gamma[1])
-                    if flip and prng.random() >= (1 - flip):
-                        image, gt_image = augment.horizontal_flip(image, gt_image)
-                    if translate and prng.random() >= (1 - translate[2]):
-                        image, gt_image = augment.translate(
-                            prng, image, gt_image, translate[0], translate[1], void_class_id
-                        )
-                    if scale and prng.random() >= (1 - scale[2]):
-                        image, gt_image = augment.scale_zoom(
-                            prng, image, gt_image, scale[0], scale[1], void_class_id
-                        )
-                    if gray:
-                        image = augment.grayscale(image)
+                    # --- augmentation pipeline, reference order (shared
+                    # with PackedDataset.generate — see apply_augmentations)
+                    image, gt_image = apply_augmentations(
+                        image, gt_image, prng,
+                        random_crop=random_crop, crop=crop, resize=resize,
+                        brightness=brightness, contrast=contrast,
+                        saturation=saturation, hue=hue, gamma=gamma,
+                        flip=flip, translate=translate, scale=scale,
+                        gray=gray, void_class_id=void_class_id,
+                    )
 
                     if pad_to_multiple:
                         image, gt_image = _pad_to_multiple(

@@ -230,6 +230,36 @@ def _unflatten_like(example, leaves):
     return restored
 
 
+def load_params_tree(directory: str) -> tuple:
+    """Rebuild the nested params dict from the manifest's ``param_paths``
+    alone (paths look like ``encoder/conv1_1/kernel``) — no live model
+    needed, so standalone tools (orbax export, serving artifacts) run on a
+    CPU-only host. Returns ``(params_tree, metadata)``."""
+    meta = load_metadata(directory)
+    _check_format_version(meta, directory)
+    paths = meta.get("param_paths")
+    if not paths:
+        raise ValueError(
+            f"checkpoint at '{directory}' has no param_paths manifest "
+            "entry — re-save it with this library version first")
+    with open(os.path.join(directory, "checkpoint.msgpack"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    leaves = raw["params_leaves"]
+    leaves = list(leaves.values()) if isinstance(leaves, dict) else list(leaves)
+    if len(paths) != len(leaves):
+        raise ValueError(
+            f"checkpoint at '{directory}' has {len(leaves)} leaves but "
+            f"{len(paths)} param_paths — corrupt manifest?")
+    tree: dict = {}
+    for path, leaf in zip(paths, leaves):
+        node = tree
+        *parents, last = path.split("/")
+        for part in parents:
+            node = node.setdefault(part, {})
+        node[last] = leaf
+    return tree, meta
+
+
 def load_checkpoint(directory: str, example_tree):
     """Restore into the structure of ``example_tree`` (a dict with 'params'
     and optionally 'step'/'opt_state' — pass the matching structure)."""

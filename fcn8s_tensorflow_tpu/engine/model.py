@@ -1798,6 +1798,20 @@ class FCN8s:
         tr.close()
 
     # ------------------------------------------------------------------
+    def export_serving(self, directory, *, input_hw=(1024, 512), argmax=True,
+                       use_ema=False):
+        """Write a portable StableHLO serving artifact (``jax.export``) —
+        the JAX-native counterpart of the reference's SavedModel deployment
+        artifact (`fcn8s_tensorflow.py:922-925`; the TF-ecosystem path is
+        tools/tf_interop.py). Any JAX process can then run
+        ``engine.export.load_serving_artifact(directory).predict(images)``
+        without this package's model code; the batch dim is symbolic so one
+        artifact serves every batch size. See engine/export.py."""
+        from .export import export_serving_artifact
+
+        return export_serving_artifact(self, directory, input_hw=input_hw,
+                                       argmax=argmax, use_ema=use_ema)
+
     def save(
         self,
         model_save_dir,

@@ -38,29 +38,9 @@ from fcn8s_tensorflow_tpu.engine import checkpoint as ckpt  # noqa: E402
 MANIFEST_NAME = "fcn8s_manifest.json"
 
 
-def _params_tree_from_checkpoint(checkpoint_dir: str) -> dict:
-    """Nested params dict rebuilt from the manifest's param_paths — works
-    without constructing a model (paths look like 'encoder/conv1_1/kernel')."""
-    from flax import serialization
-
-    meta = ckpt.load_metadata(checkpoint_dir)
-    paths = meta.get("param_paths")
-    if not paths:
-        raise ValueError(
-            f"checkpoint at '{checkpoint_dir}' has no param_paths manifest "
-            "entry — re-save it with this library version first")
-    with open(os.path.join(checkpoint_dir, "checkpoint.msgpack"), "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    leaves = raw["params_leaves"]
-    leaves = list(leaves.values()) if isinstance(leaves, dict) else list(leaves)
-    tree: dict = {}
-    for path, leaf in zip(paths, leaves):
-        node = tree
-        *parents, last = path.split("/")
-        for part in parents:
-            node = node.setdefault(part, {})
-        node[last] = leaf
-    return tree, meta
+# model-free params reconstruction now lives in the library proper
+# (engine/checkpoint.py:load_params_tree); kept as an alias for callers
+_params_tree_from_checkpoint = ckpt.load_params_tree
 
 
 def export_params_to_orbax(checkpoint_dir: str, orbax_dir: str) -> str:
