@@ -130,6 +130,44 @@ def test_nonuniform_sizes_raise(tree):
         pack_dataset(gen, str(tree["tmp"] / "packed_bad"))
 
 
+@pytest.mark.slow
+def test_offline_preprocessing_example_packed(tmp_path, rng):
+    """The tutorial-equivalent CLI's --packed mode (examples/
+    offline_preprocessing.py, reference `offline_preprocessing_tutorial.ipynb`)
+    writes a loadable packed dataset with the remap+resize applied."""
+    import subprocess
+    import sys as _sys
+
+    root = tmp_path / "cs"
+    for split in ["train"]:
+        img_dir = root / "leftImg8bit" / split / "aachen"
+        gt_dir = root / "gtFine" / split / "aachen"
+        img_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for i in range(2):
+            stem = f"aachen_{i:06d}_000019"
+            Image.fromarray(
+                rng.integers(0, 255, (64, 128, 3), dtype=np.uint8)
+            ).save(img_dir / f"{stem}_leftImg8bit.png")
+            Image.fromarray(
+                rng.integers(0, 34, (64, 128), dtype=np.uint8)
+            ).save(gt_dir / f"{stem}_gtFine_labelIds.png")
+    export = tmp_path / "packed_out"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "examples", "offline_preprocessing.py"),
+         "--dataset", str(root), "--export", str(export),
+         "--resolution", "32", "64", "--splits", "train", "--packed"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+    ds = PackedDataset(str(export / "train"), num_classes=20)
+    assert ds.get_num_files() == 2
+    assert ds.images.shape == (2, 32, 64, 3)
+    assert int(np.asarray(ds.labels).max()) <= 19  # IDs->trainIds applied
+    im, gt = next(ds.generate(2, convert_to_one_hot=False, shuffle=False))
+    assert im.shape == (2, 32, 64, 3) and gt.shape == (2, 32, 64)
+
+
 def test_version_and_missing_index_guards(tree):
     _, ds = _pack(tree)
     with pytest.raises(DataError, match="not a packed dataset"):
