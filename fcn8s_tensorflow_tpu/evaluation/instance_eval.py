@@ -15,8 +15,11 @@ evalInstanceLevelSemanticLabeling.py`:
 * env-var config, colorized report, JSON export.
 
 The distance-gated variants (minRegionSizes/distanceThs beyond the first
-entry) exist in the schema but, as in the reference default
-(``distanceAvailable = False``), only the first entry is evaluated.
+entry) follow the reference's ``distanceAvailable`` switch: with the default
+``distance_available=False`` only the first entry is evaluated; setting it
+True evaluates all three gates and adds the AP_50m / AP_100m / AP_50%50m
+columns (reference `:560-564`, exercised end-to-end in
+``tests/test_instance_eval.py::test_distance_gated_variants_end_to_end``).
 """
 
 from __future__ import annotations
@@ -425,6 +428,8 @@ def compute_averages(aps: np.ndarray, args: InstanceEvalArgs) -> dict:
 
 
 def print_results(avg_dict: dict, args: InstanceEvalArgs) -> None:
+    """Results table; ``args.csv`` switches to comma-separated machine output
+    with no rule lines (reference ``printResults``, `:578-627`)."""
     if args.quiet:
         return
     cols = ["ap", "ap50%"] + (
@@ -432,6 +437,17 @@ def print_results(avg_dict: dict, args: InstanceEvalArgs) -> None:
     )
     heads = {"ap": "AP", "ap50%": "AP_50%", "ap50m": "AP_50m",
              "ap100m": "AP_100m", "ap50%50m": "AP_50%50m"}
+    all_keys = {"ap": "allAp", "ap50%": "allAp50%", "ap50m": "allAp50m",
+                "ap100m": "allAp100m", "ap50%50m": "allAp50%50m"}
+    if args.csv:
+        # CSV mode disables colorization glue so the output parses cleanly
+        # (the reference keeps color codes in CSV; we document the divergence
+        # in README — comma-separated ANSI cells are unusable downstream).
+        print("what," + ",".join(heads[c] for c in cols))
+        for name, entry in avg_dict["classes"].items():
+            print(name + "," + ",".join(f"{entry[c]:.3f}" for c in cols))
+        print("average," + ",".join(f"{avg_dict[all_keys[c]]:.3f}" for c in cols))
+        return
     width = 15 + 10 * len(cols)
     print(args.bold + f"{'what':<15}" + "".join(f"{heads[c]:>10}" for c in cols) + args.nocol)
     print("-" * width)
@@ -442,8 +458,6 @@ def print_results(avg_dict: dict, args: InstanceEvalArgs) -> None:
         )
         print(f"{name:<15}{cells}")
     print("-" * width)
-    all_keys = {"ap": "allAp", "ap50%": "allAp50%", "ap50m": "allAp50m",
-                "ap100m": "allAp100m", "ap50%50m": "allAp50%50m"}
     print(f"{'average':<15}" + "".join(f"{avg_dict[all_keys[c]]:>10.3f}" for c in cols))
 
 

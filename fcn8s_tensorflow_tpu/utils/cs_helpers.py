@@ -43,7 +43,7 @@ def get_color_entry(val, args):
         return colors.RED
     if val < 0.40:
         return colors.YELLOW
-    if val < 0.70:
+    if val < 0.60:
         return colors.BLUE
     if val < 0.80:
         return colors.CYAN

@@ -253,3 +253,42 @@ def test_distance_gated_variants_end_to_end(tmp_path, args):
     assert result["classes"]["car"]["ap50m"] == pytest.approx(1.0)
     assert result["allAp50m"] == pytest.approx(1.0)
     assert os.path.isfile(args.export_file)
+
+
+def test_csv_output_mode(tmp_path, args, capsys):
+    """args.csv=True prints the results table as parseable CSV — header,
+    one row per instance class, an 'average' row, no rule lines (reference
+    printResults, evalInstanceLevelSemanticLabeling.py:578-627)."""
+    inst = np.zeros((100, 100), np.int32)
+    inst[10:40, 10:40] = 26000
+    gt_path = _write_instance_gt(tmp_path, "c_000004_000000", inst)
+    pred_txt = _write_pred(str(tmp_path / "pred"), "c_000004_000000",
+                           [(inst == 26000, 26, 0.99)])
+    args.quiet = False
+    args.csv = True
+    result = instance_eval.evaluate_img_lists([pred_txt], [gt_path], args)
+
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if "," in ln]  # drop the progress chatter
+    header = lines[0].split(",")
+    assert header == ["what", "AP", "AP_50%"]
+    rows = {ln.split(",")[0]: ln.split(",")[1:] for ln in lines[1:]}
+    assert set(rows) == set(args.inst_labels) | {"average"}
+    assert float(rows["car"][0]) == pytest.approx(result["classes"]["car"]["ap"], abs=5e-4)
+    assert float(rows["average"][1]) == pytest.approx(result["allAp50%"], abs=5e-4)
+    # no ANSI escapes, no rule lines
+    assert all("\033" not in ln and not ln.startswith("-") for ln in lines)
+
+
+def test_csv_output_distance_columns(args, capsys):
+    """CSV mode with distance_available=True carries the three extra
+    distance-gated columns (reference :592-596)."""
+    args.quiet = False
+    args.csv = True
+    args.distance_available = True
+    instance_eval.set_inst_labels(args)
+    aps = np.full((3, len(args.inst_labels), 10), 0.5)
+    avg = instance_eval.compute_averages(aps, args)
+    instance_eval.print_results(avg, args)
+    header = capsys.readouterr().out.splitlines()[0].split(",")
+    assert header == ["what", "AP", "AP_50%", "AP_50m", "AP_100m", "AP_50%50m"]

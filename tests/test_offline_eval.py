@@ -77,9 +77,22 @@ def test_cs_file_info():
 
 
 def test_color_entry_thresholds():
+    """Every band and every boundary of the reference's score colorizer
+    (csHelpers.py:62-76): [0,.20) RED, [.20,.40) YELLOW, [.40,.60) BLUE,
+    [.60,.80) CYAN, [.80,1] GREEN; boundaries belong to the upper band."""
     class A: colorized = True
-    assert cs_helpers.get_color_entry(0.1, A()) == cs_helpers.colors.RED
-    assert cs_helpers.get_color_entry(0.95, A()) == cs_helpers.colors.GREEN
+    a = A()
+    c = cs_helpers.colors
+    expected = [
+        (0.0, c.RED), (0.1, c.RED), (0.19999, c.RED),
+        (0.20, c.YELLOW), (0.39999, c.YELLOW),
+        (0.40, c.BLUE), (0.59999, c.BLUE),
+        (0.60, c.CYAN), (0.65, c.CYAN), (0.79999, c.CYAN),
+        (0.80, c.GREEN), (0.95, c.GREEN), (1.0, c.GREEN),
+    ]
+    for val, color in expected:
+        assert cs_helpers.get_color_entry(val, a) == color, val
+    assert cs_helpers.get_color_entry(float("nan"), a) == c.ENDC
     class B: colorized = False
     assert cs_helpers.get_color_entry(0.1, B()) == ""
 
