@@ -90,16 +90,18 @@ def build_dataset(root, n_images=16):
     return os.path.join(root, "leftImg8bit", "train"), os.path.join(root, "gtFine", "train")
 
 
-def _train_kwargs(device_augment, steps):
+def _train_kwargs(device_augment):
     return dict(
         learning_rate_schedule=lambda step: 1e-4,
         record_summaries=False,
         save_during_training=False,
         eval_frequency=10**9,
         device_augment=device_augment,
-        # no mid-run display syncs — only the epoch-end one, same for all
-        # configs (the loop syncs loss on this cadence; engine/model.py:820)
-        summaries_frequency=steps * 10,
+        # no mid-run display syncs: a large prime the continuously growing
+        # global step can never reach, so no config's timed window gets an
+        # extra D2H sync the others don't (the loop checks g_step %
+        # summaries_frequency; engine/model.py:820)
+        summaries_frequency=999983,
     )
 
 
@@ -108,7 +110,7 @@ def timed_train(model, generator, *, device_augment, tag):
     Callers warm up each distinct executable once beforehand."""
     t0 = time.time()
     model.train(generator, epochs=1, steps_per_epoch=TIMED_STEPS,
-                **_train_kwargs(device_augment, TIMED_STEPS))
+                **_train_kwargs(device_augment))
     float(np.asarray(model.state.step))  # hard sync (axon: block_until_ready no-op)
     dt = time.time() - t0
     rate = TIMED_STEPS * BATCH / dt
@@ -173,7 +175,7 @@ def main():
         log("warmup (compiles)...")
         for aug in (DEVICE_AUG, None):
             model.train(resident_gen(), epochs=1, steps_per_epoch=WARM_STEPS,
-                        **_train_kwargs(aug, WARM_STEPS))
+                        **_train_kwargs(aug))
         float(np.asarray(model.state.step))
 
         samples = {key: [] for key, *_ in configs}

@@ -317,9 +317,19 @@ class FCN8s:
     # ------------------------------------------------------------------
     # compiled-step caches
     # ------------------------------------------------------------------
+    @staticmethod
+    def _freeze_cfg(obj):
+        """Canonical hashable key for a (possibly nested) augment config."""
+        if isinstance(obj, dict):
+            return tuple(sorted((k, FCN8s._freeze_cfg(v)) for k, v in obj.items()))
+        if isinstance(obj, (list, tuple)):
+            return tuple(FCN8s._freeze_cfg(v) for v in obj)
+        return obj
+
     def _get_train_step(self, batch_shape):
-        if batch_shape not in self._train_steps:
-            self._train_steps[batch_shape] = compile_train_step(
+        key = (batch_shape, self._freeze_cfg(getattr(self, "_device_augment_cfg", None)))
+        if key not in self._train_steps:
+            self._train_steps[key] = compile_train_step(
                 self.mesh,
                 self.optimizer,
                 self.num_classes,
@@ -334,7 +344,7 @@ class FCN8s:
                 ignore_label=self.ignore_label,
                 class_weights=getattr(self, "_class_weights", None),
             )
-        return self._train_steps[batch_shape]
+        return self._train_steps[key]
 
     def _get_eval_step(self, batch_shape, spatial_partition=False):
         key = (batch_shape, spatial_partition)
@@ -758,17 +768,16 @@ class FCN8s:
             self._train_steps.clear()  # sharding layout is baked in
         self._train_spatial = spatial_partition
 
+        # The augment config is part of the compiled-step cache KEY (see
+        # _get_train_step), so alternating augmented / plain train() calls
+        # keep both executables cached instead of recompiling on each switch.
         if device_augment is not None:
             from ..ops.augment_device import make_augment_fn
 
-            new_fn = make_augment_fn(**device_augment)
             if getattr(self, "_device_augment_cfg", None) != device_augment:
-                self._train_steps.clear()  # augment is baked into the executable
+                self._augment_fn = make_augment_fn(**device_augment)
             self._device_augment_cfg = device_augment
-            self._augment_fn = new_fn
         else:
-            if getattr(self, "_device_augment_cfg", None) is not None:
-                self._train_steps.clear()
             self._device_augment_cfg = None
             self._augment_fn = None
 

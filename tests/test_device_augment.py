@@ -93,6 +93,40 @@ def test_train_with_device_augment(rng):
     assert int(model.state.step) == 5
 
 
+def test_augment_config_switch_keeps_both_executables_cached(rng):
+    """Alternating device_augment configs must not recompile: the augment
+    config is part of the compiled-step cache key (ADVICE r3 — the old
+    clear-on-switch behavior recompiled inside benchmark timed windows)."""
+    from fcn8s_tensorflow_tpu.engine.model import FCN8s
+    from fcn8s_tensorflow_tpu.engine.schedules import constant
+
+    model = FCN8s(num_classes=3, width_mult=1 / 32, fc_channels=32,
+                  compute_dtype=jnp.float32)
+    images = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    labels = np.zeros((2, 32, 32), np.uint8)
+
+    def gen():
+        while True:
+            yield images, labels
+
+    kw = dict(epochs=1, steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+              keep_prob=1.0, record_summaries=False)
+    aug_cfg = {"flip": 0.5}
+    model.train(gen(), device_augment=aug_cfg, **kw)
+    model.train(gen(), device_augment=None, **kw)
+    assert len(model._train_steps) == 2
+    cached = dict(model._train_steps)
+    # switching back reuses both cached executables (and the same augment fn)
+    fn_before = model._augment_fn is None
+    model.train(gen(), device_augment=aug_cfg, **kw)
+    model.train(gen(), device_augment=None, **kw)
+    assert model._train_steps == cached
+    assert fn_before and model._augment_fn is None
+    # a *different* augment config compiles a third entry
+    model.train(gen(), device_augment={"flip": 1.0}, **kw)
+    assert len(model._train_steps) == 3
+
+
 # ---------------------------------------------------------------------------
 # Host-equivalence golden tests: every BatchGenerator.generate transform has
 # a device twin; each is compared against the cv2-backed host implementation
