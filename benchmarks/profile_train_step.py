@@ -89,6 +89,9 @@ def main():
     ap.add_argument("--keep-trace", default=None, help="directory to keep the trace in")
     ap.add_argument("--parse-only", default=None,
                     help="skip the run; parse an existing trace directory")
+    ap.add_argument("--ignore-label", type=int, default=None,
+                    help="profile the masked (ignore_label) train step; GT "
+                         "gets ~25%% ignored pixels")
     args = ap.parse_args()
 
     if args.parse_only:
@@ -117,11 +120,15 @@ def main():
     params = jax.jit(lambda k: init_fcn8s(k, NUM_CLASSES))(jax.random.PRNGKey(0))
     optimizer = make_optimizer()
     state = create_train_state(params, optimizer)
-    step = compile_train_step(mesh, optimizer, NUM_CLASSES, example_state=state)
+    step = compile_train_step(mesh, optimizer, NUM_CLASSES, example_state=state,
+                              ignore_label=args.ignore_label)
+    labels_np = rng.integers(0, NUM_CLASSES, (args.batch, H, W), dtype=np.uint8)
+    if args.ignore_label is not None:
+        labels_np[rng.random(labels_np.shape) < 0.25] = args.ignore_label
     im, lb, mk = shard_batch(
         mesh,
         rng.integers(0, 255, (args.batch, H, W, 3), np.uint8),
-        rng.integers(0, NUM_CLASSES, (args.batch, H, W), np.uint8),
+        labels_np,
         np.ones((args.batch,), np.float32),
     )
     key = jax.random.key(1, impl="rbg")

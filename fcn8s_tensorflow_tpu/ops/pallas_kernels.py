@@ -296,6 +296,75 @@ _BWD_BARRIER = False
 _ce_sum_sample.defvjp(_ce_sum_sample_fwd, _ce_sum_sample_bwd)
 
 
+# ---------------------------------------------------------------------------
+# masked fast path (ignore_label training; VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+
+# Neutral-row magnitude: for an ignored pixel the logits row is replaced by
+# [NEUTRAL, 0, ..., 0] and its label by 0, so lse = NEUTRAL + log1p((C-1)e^-30)
+# and picked = NEUTRAL. (C-1)e^-30 ~ 1.7e-12 underflows below f32 eps (1.2e-7)
+# inside the kernel's f32 `1 + sum(exp(x - max))`, so the sum rounds to
+# exactly 1.0 and the pixel's CE contribution is EXACTLY 0.0 for any
+# C < ~600k classes. 30 is exactly representable in bf16.
+_MASKED_NEUTRAL = 30.0
+
+
+def masked_softmax_cross_entropy_pallas(logits, label_ids, sample_mask,
+                                        ignore_label: int, *, chunk: int = 2048,
+                                        interpret: bool = False):
+    """Mean softmax CE over valid pixels only: pixels whose GT id equals
+    ``ignore_label`` contribute zero loss and exactly-zero gradient, exactly
+    like ``softmax_cross_entropy_pallas(logits, labels, valid_pixel_weights(...))``
+    but at the UNMASKED fast path's speed.
+
+    Design (round 4, profile-driven): ignored pixels' logit rows are
+    substituted with the neutral row ``[30, 0, ..., 0]`` (and their labels
+    with 0) — a substituted row's lse equals its picked logit exactly
+    (see ``_MASKED_NEUTRAL``), so the pixel contributes exactly 0.0 to the
+    CE sum, and the substitution's VJP (cotangent x validity) zeroes its
+    gradient exactly. The UNMASKED per-sample kernel then runs unchanged;
+    only the normalization swaps the all-pixel count for the weighted
+    VALID count. The substitution is the arithmetic blend
+    ``logits*v + neutral*(1-v)`` (exact for the 0/1 validity) rather than a
+    ``jnp.where``: XLA kept the select as a standalone 3.3 ms
+    broadcast_select_fusion but fuses the blend — 113.5 vs 114.8 ms/step
+    measured (unmasked baseline 109.4, i.e. +3.7%). Trade-off: a non-finite
+    logit at an IGNORED pixel would poison the blend (0*inf=nan) where a
+    select would mask it; ignored-pixel logits are produced by the same
+    convs as valid ones, so they are finite whenever training is healthy.
+
+    Two dedicated masked-kernel designs measured worse and were removed
+    (v5e @8x1024x512x19, full train step, unmasked baseline 109.7 ms):
+    a 3-D (SB, 128, C) bitcast-view kernel with a compact validity plane
+    ran 118.0 ms (its cross-lane lse reduce lands pixel-indexed results in
+    LANES, which Mosaic relayouts per tile: the kernel alone profiled
+    5.4 ms vs the 2-D unmasked kernel's 2.5); folding the label-pick
+    in-kernel was slower still (13.8 vs 11.6 ms standalone v+g — padded-
+    lane VPU select work exceeds the XLA pass it saves). The round-3
+    dense per-pixel-weight path measured 160.7 ms.
+
+    ``sample_mask``: (batch,) fp32 batch-padding mask (grad-accum microbatch
+    weighting composes outside, as for the unmasked path).
+    """
+    valid = label_ids.astype(jnp.int32) != ignore_label
+    v3 = valid[..., None].astype(logits.dtype)
+    neutral = jnp.zeros((logits.shape[-1],), logits.dtype
+                        ).at[0].set(jnp.asarray(_MASKED_NEUTRAL, logits.dtype))
+    safe_logits = logits * v3 + neutral * (1 - v3)
+    safe_labels = jnp.where(valid, label_ids, jnp.zeros_like(label_ids))
+    mask = sample_mask.astype(jnp.float32)
+    mean_all = softmax_cross_entropy_pallas(safe_logits, safe_labels, mask,
+                                            chunk=chunk, interpret=interpret)
+    # it normalized by sum(mask) * pixels-per-sample; renormalize to the
+    # weighted VALID-pixel count (one fused pass over the compact labels)
+    batch = label_ids.shape[0]
+    pps = label_ids.size // batch
+    denom_all = jnp.maximum(jnp.sum(mask) * pps, 1.0)
+    vcount = jnp.dot(mask, valid.astype(jnp.float32).reshape(batch, pps).sum(axis=1))
+    return mean_all * denom_all / jnp.maximum(vcount, 1.0)
+
+
 def softmax_cross_entropy_pallas(logits, label_ids, pixel_weights=None, *,
                                  chunk: int = 2048, interpret: bool = False):
     """Weighted-mean softmax CE over (..., C) logits with integer labels.

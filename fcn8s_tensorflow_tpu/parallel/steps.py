@@ -263,15 +263,22 @@ def train_step(
             # capability stays available on apply_fcn8s for other consumers.
         )
         if weighted:
-            w = pixel_weights(lb, mk)
-            if use_pallas:
+            if use_pallas and class_weights is None:
+                from ..ops.pallas_kernels import masked_softmax_cross_entropy_pallas
+
+                # masked FAST path: neutral-row substitution riding the
+                # unmasked per-sample kernel; measured 113.5 ms/step vs the
+                # dense kernel's 160.7 (unmasked baseline 109.4) on v5e
+                # @8x1024x512x19 — see masked_softmax_cross_entropy_pallas
+                ce = masked_softmax_cross_entropy_pallas(logits, lb, mk, ignore_label)
+            elif use_pallas:
                 from ..ops.pallas_kernels import softmax_cross_entropy_pallas
 
-                # dense (per-pixel-weight) kernel path; an ignored id
-                # matches no lane in fwd and one-hots to zeros in bwd
-                ce = softmax_cross_entropy_pallas(logits, lb, w)
+                # dense (per-pixel-weight) kernel path for class weights; an
+                # ignored id matches no lane in fwd and one-hots to zeros in bwd
+                ce = softmax_cross_entropy_pallas(logits, lb, pixel_weights(lb, mk))
             else:
-                ce = masked_mean_softmax_cross_entropy(logits, lb, w)
+                ce = masked_mean_softmax_cross_entropy(logits, lb, pixel_weights(lb, mk))
         elif use_pallas:
             from ..ops.pallas_kernels import softmax_cross_entropy_pallas
 
@@ -360,17 +367,23 @@ def eval_step(params, metrics_state, images, label_ids, sample_mask, *,
         # ``train_step``); the confusion matrix below needs no change — an
         # out-of-range GT id matches no one-hot lane, so ignored pixels
         # drop out structurally
-        if class_weights is not None:
-            w = class_pixel_weights(label_ids, sample_mask, class_weights,
-                                    ignore_label)
-        else:
-            w = valid_pixel_weights(label_ids, sample_mask, ignore_label)
-        if use_pallas_ce:
-            from ..ops.pallas_kernels import softmax_cross_entropy_pallas
+        if use_pallas_ce and class_weights is None:
+            from ..ops.pallas_kernels import masked_softmax_cross_entropy_pallas
 
-            loss = softmax_cross_entropy_pallas(logits, label_ids, w)
+            loss = masked_softmax_cross_entropy_pallas(
+                logits, label_ids, sample_mask, ignore_label)
         else:
-            loss = masked_mean_softmax_cross_entropy(logits, label_ids, w)
+            if class_weights is not None:
+                w = class_pixel_weights(label_ids, sample_mask, class_weights,
+                                        ignore_label)
+            else:
+                w = valid_pixel_weights(label_ids, sample_mask, ignore_label)
+            if use_pallas_ce:
+                from ..ops.pallas_kernels import softmax_cross_entropy_pallas
+
+                loss = softmax_cross_entropy_pallas(logits, label_ids, w)
+            else:
+                loss = masked_mean_softmax_cross_entropy(logits, label_ids, w)
     elif use_pallas_ce:
         # Pallas forward-only CE: 2.9x the composite formulation on v5e
         # (eval never needs the backward).

@@ -125,3 +125,122 @@ def test_pallas_pool_shape_validation(rng):
         max_pool_2x2_pallas(jnp.zeros((1, 8, 8, 64)), True)
     with pytest.raises(ValueError, match="C==64"):
         max_pool_2x2_pallas(jnp.zeros((1, 16, 8, 32)), True)
+
+
+# ---------------------------------------------------------------------------
+# masked fast path (ignore_label; VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+from fcn8s_tensorflow_tpu.ops.losses import (
+    masked_mean_softmax_cross_entropy,
+    valid_pixel_weights,
+)
+from fcn8s_tensorflow_tpu.ops.pallas_kernels import (
+    masked_softmax_cross_entropy_pallas,
+)
+
+
+def _masked_case(rng, C=19, shape=(2, 16, 16), ignore=255, frac=0.3):
+    logits = jnp.asarray(rng.normal(size=(*shape, C)).astype(np.float32))
+    labels = rng.integers(0, C, shape).astype(np.int32)
+    labels[rng.random(shape) < frac] = ignore
+    return logits, jnp.asarray(labels)
+
+
+def test_masked_ce_matches_masked_mean(rng):
+    ignore = 255
+    logits, labels = _masked_case(rng, ignore=ignore)
+    mask = jnp.ones((2,), jnp.float32)
+    got = masked_softmax_cross_entropy_pallas(
+        logits, labels, mask, ignore, chunk=128, interpret=True)
+    want = masked_mean_softmax_cross_entropy(
+        logits, labels, valid_pixel_weights(labels, mask, ignore))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_masked_ce_in_range_ignore_id(rng):
+    """ignore_label < num_classes: the picked term must be killed by the
+    validity factor, not by the no-matching-lane property."""
+    ignore = 0
+    logits, labels = _masked_case(rng, ignore=ignore)
+    mask = jnp.ones((2,), jnp.float32)
+    got = masked_softmax_cross_entropy_pallas(
+        logits, labels, mask, ignore, chunk=128, interpret=True)
+    want = masked_mean_softmax_cross_entropy(
+        logits, labels, valid_pixel_weights(labels, mask, ignore))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_masked_ce_sample_mask_composes(rng):
+    """A zero sample mask removes that sample's pixels from numerator AND
+    denominator (batch-padding semantics)."""
+    ignore = 255
+    logits, labels = _masked_case(rng, shape=(3, 16, 16), ignore=ignore)
+    mask = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
+    got = masked_softmax_cross_entropy_pallas(
+        logits, labels, mask, ignore, chunk=128, interpret=True)
+    want = masked_mean_softmax_cross_entropy(
+        logits, labels, valid_pixel_weights(labels, mask, ignore))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_masked_ce_gradient_exactly_zero_at_ignored(rng):
+    ignore = 255
+    logits, labels = _masked_case(rng, ignore=ignore)
+    mask = jnp.ones((2,), jnp.float32)
+    g = jax.grad(lambda l: masked_softmax_cross_entropy_pallas(
+        l, labels, mask, ignore, chunk=128, interpret=True))(logits)
+    g = np.asarray(g)
+    ignored = np.asarray(labels) == ignore
+    assert ignored.any()
+    np.testing.assert_array_equal(g[ignored], 0.0)
+    # and matches the reference masked-mean gradient everywhere
+    want = np.asarray(jax.grad(lambda l: masked_mean_softmax_cross_entropy(
+        l, labels, valid_pixel_weights(labels, mask, ignore)))(logits))
+    np.testing.assert_allclose(g, want, atol=1e-7)
+
+
+def test_masked_ce_bf16_logits(rng):
+    ignore = 255
+    logits, labels = _masked_case(rng, ignore=ignore)
+    logits = logits.astype(jnp.bfloat16)
+    mask = jnp.ones((2,), jnp.float32)
+    got = masked_softmax_cross_entropy_pallas(
+        logits, labels, mask, ignore, chunk=128, interpret=True)
+    assert got.dtype == jnp.float32
+    want = masked_mean_softmax_cross_entropy(
+        logits, labels, valid_pixel_weights(labels, mask, ignore))
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-3)
+    g = jax.grad(lambda l: masked_softmax_cross_entropy_pallas(
+        l, labels, mask, ignore, chunk=128, interpret=True))(logits)
+    assert g.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(g)[np.asarray(labels) == ignore], 0.0)
+
+
+def test_masked_ce_all_ignored_is_zero(rng):
+    """All pixels ignored -> loss 0 (not NaN), grads all exactly zero."""
+    C, ignore = 19, 255
+    logits = jnp.asarray(rng.normal(size=(1, 16, 16, C)).astype(np.float32))
+    labels = jnp.full((1, 16, 16), ignore, jnp.int32)
+    mask = jnp.ones((1,), jnp.float32)
+    loss, g = jax.value_and_grad(lambda l: masked_softmax_cross_entropy_pallas(
+        l, labels, mask, ignore, chunk=128, interpret=True))(logits)
+    assert float(loss) == 0.0
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_masked_ce_odd_pps_falls_back_to_dense(rng):
+    """Per-sample pixel count not divisible by any chunk size: the dense
+    per-pixel-weight kernel handles it with identical semantics."""
+    C, ignore = 7, 255
+    shape = (2, 9, 13)  # pps = 117, not divisible by 128
+    logits = jnp.asarray(rng.normal(size=(*shape, C)).astype(np.float32))
+    labels = rng.integers(0, C, shape).astype(np.int32)
+    labels[rng.random(shape) < 0.3] = ignore
+    labels = jnp.asarray(labels)
+    mask = jnp.ones((2,), jnp.float32)
+    got = masked_softmax_cross_entropy_pallas(
+        logits, labels, mask, ignore, chunk=128, interpret=True)
+    want = masked_mean_softmax_cross_entropy(
+        logits, labels, valid_pixel_weights(labels, mask, ignore))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
