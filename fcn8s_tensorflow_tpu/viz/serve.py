@@ -12,6 +12,9 @@ overlay / prediction overlay) plus a single self-contained ``viewer.html``
 Feature parity with the PyQt viewer's core loop:
 * next/previous image        -> arrow keys or on-screen buttons
 * toggle label overlay       -> 'g' (GT), 'p' (prediction)
+* toggle disparity overlay   -> 'd' (the Qt viewer's shortcut,
+                                cityscapesViewer.py:225), 'm' switches
+                                plasma-colormapped <-> grayscale rendering
 * overlay transparency       -> slider (the Qt tool's alpha slider)
 * zoom                       -> mouse wheel / trackpad, drag to pan
 * image name + progress      -> header bar
@@ -51,15 +54,18 @@ _VIEWER_HTML = """<!doctype html>
   <button id="next">&rarr;</button>
   <button id="gt">GT (g)</button>
   <button id="pred">pred (p)</button>
+  <button id="disp">disp (d)</button>
+  <button id="dmode">gray (m)</button>
   <label>alpha <input id="alpha" type="range" min="0" max="100" value="100"></label>
   <span style="opacity:.6">wheel: zoom &middot; drag: pan &middot; <kbd>&larr;</kbd><kbd>&rarr;</kbd> navigate</span>
 </div>
 <div id="stage"><div id="stack">
-  <img id="L_img"><img id="L_gt"><img id="L_pred">
+  <img id="L_img"><img id="L_gt"><img id="L_pred"><img id="L_disp">
 </div></div>
 <script>
 const ENTRIES = {entries_json};
-let i = 0, showGt = true, showPred = true, scale = 1, ox = 0, oy = 0;
+let i = 0, showGt = true, showPred = true, showDisp = false, dispGray = false,
+    scale = 1, ox = 0, oy = 0;
 const $ = id => document.getElementById(id);
 function render() {{
   const e = ENTRIES[i];
@@ -67,21 +73,32 @@ function render() {{
   $('L_img').src = e.img;
   $('L_gt').src = e.gt || ''; $('L_gt').style.display = (e.gt && showGt) ? '' : 'none';
   $('L_pred').src = e.pred || ''; $('L_pred').style.display = (e.pred && showPred) ? '' : 'none';
+  const dsrc = dispGray ? e.disp_gray : e.disp;
+  $('L_disp').src = dsrc || '';
+  $('L_disp').style.display = (dsrc && showDisp) ? '' : 'none';
   $('gt').className = showGt ? 'on' : ''; $('pred').className = showPred ? 'on' : '';
+  $('disp').className = showDisp ? 'on' : ''; $('dmode').className = dispGray ? 'on' : '';
+  const hasDisp = ENTRIES.some(x => x.disp);
+  $('disp').style.display = hasDisp ? '' : 'none';
+  $('dmode').style.display = hasDisp ? '' : 'none';
   const a = $('alpha').value / 100;
-  $('L_gt').style.opacity = a; $('L_pred').style.opacity = a;
+  $('L_gt').style.opacity = a; $('L_pred').style.opacity = a; $('L_disp').style.opacity = a;
   $('stack').style.transform = `translate(${{ox}}px,${{oy}}px) scale(${{scale}})`;
 }}
 $('prev').onclick = () => {{ i = (i - 1 + ENTRIES.length) % ENTRIES.length; render(); }};
 $('next').onclick = () => {{ i = (i + 1) % ENTRIES.length; render(); }};
 $('gt').onclick = () => {{ showGt = !showGt; render(); }};
 $('pred').onclick = () => {{ showPred = !showPred; render(); }};
+$('disp').onclick = () => {{ showDisp = !showDisp; render(); }};
+$('dmode').onclick = () => {{ dispGray = !dispGray; render(); }};
 $('alpha').oninput = render;
 document.onkeydown = ev => {{
   if (ev.key === 'ArrowLeft') $('prev').onclick();
   else if (ev.key === 'ArrowRight') $('next').onclick();
   else if (ev.key === 'g') $('gt').onclick();
   else if (ev.key === 'p') $('pred').onclick();
+  else if (ev.key === 'd') $('disp').onclick();
+  else if (ev.key === 'm') $('dmode').onclick();
 }};
 $('stage').onwheel = ev => {{
   ev.preventDefault();
@@ -105,12 +122,19 @@ def build_interactive_viewer(
     pred_loader=None,
     color_map=None,
     *,
+    disp_loader=None,
     max_images: int | None = None,
     title: str = "fcn8s_tensorflow_tpu viewer",
 ) -> str:
     """Render layer PNGs + ``viewer.html`` into ``out_dir``; returns the
     html path. ``gt_loader`` / ``pred_loader``: ``image_path -> (H, W) id
-    map or None`` (same contract as ``viz.viewer.build_gallery``)."""
+    map or None`` (same contract as ``viz.viewer.build_gallery``).
+    ``disp_loader``: ``image_path -> (H, W) raw disparity values or None``
+    (e.g. ``viz.viewer.load_disparity``); renders both the reference's
+    plasma-colormapped depth visualization and a grayscale variant,
+    toggled in the browser ('d' / 'm' — cityscapesViewer.py:222-230)."""
+    from .viewer import disparity_to_rgb
+
     color_map = color_map or TRAINIDS_TO_RGBA_DICT
     os.makedirs(out_dir, exist_ok=True)
     paths = image_paths[:max_images] if max_images else image_paths
@@ -121,7 +145,7 @@ def build_interactive_viewer(
         image = np.asarray(Image.open(path).convert("RGB"))
         stem = os.path.splitext(os.path.basename(path))[0]
         entry = {"name": os.path.basename(path), "img": f"{stem}_img.png",
-                 "gt": None, "pred": None}
+                 "gt": None, "pred": None, "disp": None, "disp_gray": None}
         Image.fromarray(image).save(os.path.join(out_dir, entry["img"]))
         gt = gt_loader(path) if gt_loader else None
         if gt is not None:
@@ -135,6 +159,14 @@ def build_interactive_viewer(
             Image.fromarray(
                 print_segmentation_onto_image(image, np.asarray(pred), color_map)
             ).save(os.path.join(out_dir, entry["pred"]))
+        disp = disp_loader(path) if disp_loader else None
+        if disp is not None:
+            entry["disp"] = f"{stem}_disp.png"
+            entry["disp_gray"] = f"{stem}_dispgray.png"
+            Image.fromarray(disparity_to_rgb(disp)).save(
+                os.path.join(out_dir, entry["disp"]))
+            Image.fromarray(disparity_to_rgb(disp, colormapped=False)).save(
+                os.path.join(out_dir, entry["disp_gray"]))
         entries.append(entry)
 
     out = os.path.join(out_dir, "viewer.html")

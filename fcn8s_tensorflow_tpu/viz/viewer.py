@@ -40,8 +40,55 @@ def load_prediction(image_path: str, results_dir: str):
     return np.asarray(Image.open(pick)) if pick else None
 
 
-def render_panel(image, gt_ids=None, pred_ids=None, color_map=None) -> np.ndarray:
-    """One horizontal panel: [image | GT overlay | prediction overlay]."""
+def load_disparity(image_path: str, disparity_root: str | None = None):
+    """Locate + load the ``*_disparity.png`` matching a left image, following
+    the reference's search convention (``cityscapesViewer.py:1062-1075``:
+    same city/sequence/frame core name + ``_disparity.png`` under the
+    disparity tree). ``disparity_root`` defaults to replacing the
+    ``leftImg8bit`` path component. Returns a (H, W) integer array or None."""
+    if disparity_root is None:
+        if "leftImg8bit" not in image_path:
+            return None
+        candidate = image_path.replace("leftImg8bit", "disparity")
+    else:
+        from ..utils.cs_helpers import get_core_image_file_name
+
+        core = get_core_image_file_name(image_path)
+        hits = sorted(glob(os.path.join(disparity_root, "**", f"{core}_disparity.png"),
+                           recursive=True))
+        candidate = hits[0] if hits else ""
+    if not candidate or not os.path.isfile(candidate):
+        return None
+    return np.asarray(Image.open(candidate))
+
+
+def disparity_to_rgb(disp, *, colormapped: bool = True) -> np.ndarray:
+    """Render a raw Cityscapes disparity map (16-bit PNG values) as an RGB
+    visualization with the reference viewer's exact semantics
+    (``cityscapesViewer.py:555-569``): values floor-divided by 128 to uint8
+    (the reference's py2 in-place ``/=`` on an int array; its unassigned
+    ``.round()`` is a no-op), then mapped through matplotlib's *plasma*
+    colormap normalized to [3, 100] (``:144-146``). Values above 255 after
+    the division are clipped rather than wrapped (divergence from the
+    reference's silent uint8 overflow — see README). ``colormapped=False``
+    returns the grayscale uint8 map replicated to RGB."""
+    d8 = np.clip(np.asarray(disp, np.int64) // 128, 0, 255).astype(np.uint8)
+    if not colormapped:
+        return np.repeat(d8[..., None], 3, axis=-1)
+    import matplotlib.cm as cm
+    import matplotlib.colors as mcolors
+
+    mappable = cm.ScalarMappable(norm=mcolors.Normalize(vmin=3, vmax=100),
+                                 cmap=cm.plasma)
+    lut = (np.asarray([mappable.to_rgba(i) for i in range(256)])[:, :3] * 255
+           ).astype(np.uint8)
+    return lut[d8]
+
+
+def render_panel(image, gt_ids=None, pred_ids=None, color_map=None,
+                 disparity=None) -> np.ndarray:
+    """One horizontal panel: [image | GT overlay | prediction overlay |
+    disparity]."""
     color_map = color_map or TRAINIDS_TO_RGBA_DICT
     image = np.asarray(image)
     parts = [image]
@@ -49,6 +96,8 @@ def render_panel(image, gt_ids=None, pred_ids=None, color_map=None) -> np.ndarra
         parts.append(print_segmentation_onto_image(image, np.asarray(gt_ids), color_map))
     if pred_ids is not None:
         parts.append(print_segmentation_onto_image(image, np.asarray(pred_ids), color_map))
+    if disparity is not None:
+        parts.append(disparity_to_rgb(disparity))
     return np.concatenate(parts, axis=1)
 
 
@@ -74,6 +123,7 @@ def build_gallery(
     pred_loader=None,
     color_map=None,
     *,
+    disp_loader=None,
     max_images: int | None = None,
     resize_to=None,
     title: str = "fcn8s_tensorflow_tpu viewer",
@@ -81,7 +131,10 @@ def build_gallery(
     """Render per-image panels + an ``index.html`` gallery into ``out_dir``.
 
     ``gt_loader`` / ``pred_loader``: optional callables
-    ``image_path -> (H, W) id map or None``. Returns the index.html path.
+    ``image_path -> (H, W) id map or None``. ``disp_loader``:
+    ``image_path -> raw disparity map or None`` (adds a plasma-colormapped
+    depth column, the reference viewer's disparity visualization).
+    Returns the index.html path.
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = image_paths[:max_images] if max_images else image_paths
@@ -94,12 +147,17 @@ def build_gallery(
             )
         gt = gt_loader(path) if gt_loader else None
         pred = pred_loader(path) if pred_loader else None
-        panel = render_panel(image, gt, pred, color_map)
+        disp = disp_loader(path) if disp_loader else None
+        if disp is not None and resize_to is not None:
+            disp = np.asarray(Image.fromarray(np.asarray(disp)).resize(
+                (resize_to[1], resize_to[0]), Image.NEAREST))
+        panel = render_panel(image, gt, pred, color_map, disparity=disp)
         name = os.path.splitext(os.path.basename(path))[0] + "_panel.png"
         Image.fromarray(panel).save(os.path.join(out_dir, name))
         entries.append((os.path.basename(path), name))
 
-    cols = "image | GT overlay" + (" | prediction" if pred_loader else "")
+    cols = ("image | GT overlay" + (" | prediction" if pred_loader else "")
+            + (" | disparity" if disp_loader else ""))
     rows = "\n".join(
         f'<figure><img src="{html.escape(panel)}" loading="lazy">'
         f"<figcaption>{html.escape(src)}</figcaption></figure>"
@@ -150,7 +208,13 @@ def view_cityscapes_split(
         def pred_loader(path):
             return load_prediction(path, results_dir)
 
+    # disparity maps ride along when the dataset ships them (the reference
+    # viewer's optional depth channel)
+    disp_loader = None
+    if os.path.isdir(os.path.join(cityscapes_root, "disparity", split)):
+        disp_loader = load_disparity
+
     return build_gallery(
-        out_dir, image_paths, gt_loader, pred_loader, max_images=max_images,
-        title=f"Cityscapes {split}",
+        out_dir, image_paths, gt_loader, pred_loader, disp_loader=disp_loader,
+        max_images=max_images, title=f"Cityscapes {split}",
     )
