@@ -13,6 +13,10 @@ Capability map to the Qt tool's core loop:
 * draw a new polygon (click vertices, double-click/Enter to close, pick a
   label from the registry with its legend color);
 * select a polygon (click inside), drag its vertices, delete it;
+* insert a vertex mid-edge (select mode: click on an edge of the selected
+  polygon — the browser twin of ``annotation.CsObject.insert_vertex``);
+* undo (button / 'z' / Ctrl+Z) — snapshot history of every mutating edit
+  (vertex add, polygon close, vertex drag, vertex insert, delete);
 * save — the server round-trips the result through
   ``prep.annotation.Annotation`` so what lands on disk is exactly the
   Cityscapes ``*_polygons.json`` schema the rasterizers
@@ -170,6 +174,7 @@ _EDITOR_HTML = """<!doctype html>
   <button id="select">select (s)</button>
   <select id="label"></select>
   <button id="del">delete poly (Del)</button>
+  <button id="undo">undo (z)</button>
   <button id="save">save (w)</button>
   <button id="preview">preview raster</button>
   <span id="status"></span>
@@ -178,6 +183,12 @@ _EDITOR_HTML = """<!doctype html>
 <script>
 let IMAGES=[], LABELS=[], idx=0, ann={objects:[]}, img=new Image(), mode="draw";
 let current=[], selected=-1, dragV=null, scale=1, ox=0, oy=0, panning=null, dirty=false;
+let history=[];
+function snap(){history.push(JSON.stringify({objects:ann.objects,current}));
+  if(history.length>200)history.shift();}
+function undo(){if(!history.length)return;
+  const s=JSON.parse(history.pop());ann.objects=s.objects;current=s.current;
+  selected=-1;dragV=null;dirty=true;draw();}
 const cv=document.getElementById("cv"), cx=cv.getContext("2d");
 const colorOf=n=>{const l=LABELS.find(l=>l.name===n);return l?`rgb(${l.color})`:"#fff";};
 async function j(u,o){const r=await fetch(u,o); if(!r.ok) throw new Error(await r.text()); return r.json();}
@@ -191,7 +202,7 @@ async function init(){
 async function load(i){
   if(dirty&&!confirm("Discard unsaved changes?"))return;
   idx=(i+IMAGES.length)%IMAGES.length; ann=await j(`/api/annotation/${idx}`);
-  current=[]; selected=-1; dirty=false;
+  current=[]; selected=-1; dirty=false; history=[];
   img=new Image(); img.onload=()=>{cv.width=img.width; cv.height=img.height; draw();};
   img.src=`/api/image/${idx}?` + Date.now();
   document.getElementById("name").textContent=
@@ -220,14 +231,28 @@ function inPoly(p,poly){let c=false;
     const [xi,yi]=poly[i],[xk,yk]=poly[k];
     if(((yi>p[1])!=(yk>p[1]))&&(p[0]<(xk-xi)*(p[1]-yi)/(yk-yi)+xi)) c=!c;}
   return c;}
+function edgeHit(p,poly){ // nearest edge within tolerance -> insertion point
+  const tol=5/scale+2; let best=null;
+  for(let i=0;i<poly.length;i++){
+    const a=poly[i],b=poly[(i+1)%poly.length];
+    const dx=b[0]-a[0],dy=b[1]-a[1],len2=dx*dx+dy*dy||1e-9;
+    const t=Math.max(0,Math.min(1,((p[0]-a[0])*dx+(p[1]-a[1])*dy)/len2));
+    const qx=a[0]+t*dx,qy=a[1]+t*dy,d=Math.hypot(p[0]-qx,p[1]-qy);
+    if(d<tol&&(!best||d<best.d)) best={i,d,pt:[Math.round(qx),Math.round(qy)]};
+  }
+  return best;
+}
 cv.addEventListener("mousedown",e=>{
   const p=pos(e);
   if(e.button===1||e.shiftKey){panning=[e.clientX-ox,e.clientY-oy];return;}
-  if(mode==="draw"){current.push([Math.round(p[0]),Math.round(p[1])]);dirty=true;draw();return;}
+  if(mode==="draw"){snap();current.push([Math.round(p[0]),Math.round(p[1])]);dirty=true;draw();return;}
   if(selected>=0){ // vertex hit?
     const poly=ann.objects[selected].polygon;
     for(let i=0;i<poly.length;i++){const[x,y]=poly[i];
-      if(Math.abs(x-p[0])<6/scale+3&&Math.abs(y-p[1])<6/scale+3){dragV=i;return;}}}
+      if(Math.abs(x-p[0])<6/scale+3&&Math.abs(y-p[1])<6/scale+3){snap();dragV=i;return;}}
+    // edge hit -> insert a vertex there (annotation.CsObject.insert_vertex)
+    const hit=edgeHit(p,poly);
+    if(hit){snap();poly.splice(hit.i+1,0,hit.pt);dragV=hit.i+1;dirty=true;draw();return;}}
   selected=ann.objects.findIndex(o=>inPoly(p,o.polygon)); draw();
 });
 cv.addEventListener("mousemove",e=>{
@@ -241,6 +266,7 @@ cv.addEventListener("wheel",e=>{e.preventDefault();
   scale=Math.min(16,Math.max(0.2,scale*(e.deltaY<0?1.15:0.87)));draw();},{passive:false});
 function closePoly(){
   if(current.length>=3){
+    snap();
     ann.objects.push({label:document.getElementById("label").value,polygon:current});
     selected=ann.objects.length-1;}
   current=[];draw();
@@ -259,7 +285,8 @@ document.getElementById("next").onclick=()=>load(idx+1);
 document.getElementById("draw").onclick=()=>setMode("draw");
 document.getElementById("select").onclick=()=>setMode("select");
 document.getElementById("del").onclick=()=>{
-  if(selected>=0){ann.objects.splice(selected,1);selected=-1;dirty=true;draw();}};
+  if(selected>=0){snap();ann.objects.splice(selected,1);selected=-1;dirty=true;draw();}};
+document.getElementById("undo").onclick=undo;
 document.getElementById("save").onclick=save;
 document.getElementById("preview").onclick=()=>{
   const p=new Image();p.onload=()=>{cx.drawImage(p,0,0);};p.src=`/api/preview/${idx}?`+Date.now();};
@@ -268,7 +295,8 @@ addEventListener("keydown",e=>{
   else if(e.key==="d")setMode("draw"); else if(e.key==="s")setMode("select");
   else if(e.key==="Enter")closePoly(); else if(e.key==="Escape"){current=[];draw();}
   else if(e.key==="w")save();
-  else if(e.key==="Delete"&&selected>=0){ann.objects.splice(selected,1);selected=-1;dirty=true;draw();}
+  else if(e.key==="z"||(e.ctrlKey&&e.key==="Z")){e.preventDefault();undo();}
+  else if(e.key==="Delete"&&selected>=0){snap();ann.objects.splice(selected,1);selected=-1;dirty=true;draw();}
 });
 init();
 </script>
