@@ -123,22 +123,10 @@ def random_brightness(rng, images, lo: float, hi: float, prob: float):
     return jnp.clip(jnp.round(rgb * scale), 0.0, 255.0).astype(images.dtype)
 
 
-def random_translate(rng, images, label_ids, x_spec, y_spec, prob: float,
-                     void_class_id: int = 0):
-    """Per-sample integer translation, borders filled black/void (host
-    analog: augment.translate; reference `:344-356`).
-
-    ``x_spec``/``y_spec`` accept both forms:
-
-    * an int ``m`` — shift drawn uniformly from [-m, +m] (legacy device
-      form);
-    * a ``(lo, hi)`` tuple — host/reference semantics: magnitude drawn
-      uniformly from {lo..hi}, then a random sign, so |shift| >= lo.
-
-    Implemented as pad-by-max + per-sample dynamic slice: static shapes, one
-    gather per tensor.
-    """
-    n, h, w = images.shape[:3]
+def _draw_translate(rng, n, x_spec, y_spec, prob):
+    """The translate fns' shared draw stream (split count and order are part
+    of the random contract — seeded pipelines must reproduce byte-identically
+    whether the standalone or the fused op consumes the key)."""
     k1, k2, k3, k4 = jax.random.split(rng, 4)
 
     def draw(key, spec, sign_key):
@@ -153,8 +141,28 @@ def random_translate(rng, images, label_ids, x_spec, y_spec, prob: float,
     apply = jax.random.uniform(k1, (n,)) >= (1.0 - prob)
     dx, max_x = draw(k2, x_spec, k4)
     dy, max_y = draw(k3, y_spec, jax.random.fold_in(k4, 1))
-    dx = jnp.where(apply, dx, 0)
-    dy = jnp.where(apply, dy, 0)
+    return jnp.where(apply, dx, 0), jnp.where(apply, dy, 0), max_x, max_y
+
+
+def random_translate(rng, images, label_ids, x_spec, y_spec, prob: float,
+                     void_class_id: int = 0):
+    """Per-sample integer translation, borders filled black/void (host
+    analog: augment.translate; reference `:344-356`).
+
+    ``x_spec``/``y_spec`` accept both forms:
+
+    * an int ``m`` — shift drawn uniformly from [-m, +m] (legacy device
+      form);
+    * a ``(lo, hi)`` tuple — host/reference semantics: magnitude drawn
+      uniformly from {lo..hi}, then a random sign, so |shift| >= lo.
+
+    Implemented as pad-by-max + per-sample dynamic slice: static shapes, one
+    gather per tensor. When ``scale`` is also enabled, ``make_augment_fn``
+    instead routes both through ``random_translate_scale`` (one fused
+    resample — the shift folds into the scale gather's taps for free).
+    """
+    n, h, w = images.shape[:3]
+    dx, dy, max_x, max_y = _draw_translate(rng, n, x_spec, y_spec, prob)
 
     def shift_one(img, lbl, sx, sy):
         img_p = jnp.pad(img, ((max_y, max_y), (max_x, max_x), (0, 0)))
@@ -198,6 +206,107 @@ def random_crop(rng, images, label_ids, crop_h: int, crop_w: int):
     return jax.vmap(crop_one)(images, label_ids, y0, x0)
 
 
+def _draw_scale(rng, n, lo, hi, prob):
+    """The scale fns' shared draw stream (see ``_draw_translate``)."""
+    k1, k2 = jax.random.split(rng)
+    apply = jax.random.uniform(k1, (n,)) >= (1.0 - prob)
+    factor = jax.random.uniform(k2, (n,), minval=lo, maxval=hi)
+    return jnp.where(apply, factor, 1.0)
+
+
+def _scale_axis(size, f):
+    """Per-axis inverse-map coordinates for the zoom (see ``random_scale``).
+
+    Nearest (GT): exact rational floor(p*size/patch) via int math —
+    cv2 instead computes floor(p * double(1/(patch/size))), identical
+    everywhere EXCEPT at exact-integer boundaries (p*size % patch == 0)
+    where its one-ulp-low reciprocal can land one source pixel lower.
+    The exact form is the documented behavior; the tie divergence is
+    bounded by test (a few columns per image at rational factors,
+    measure-zero for continuous U(lo,hi) draws)."""
+    patch = jnp.floor(size * f).astype(jnp.int32)  # host: int(size*factor)
+    off = jnp.abs(size - patch) // 2
+    o = jnp.arange(size, dtype=jnp.int32)
+    p = o - jnp.where(patch <= size, off, -off)  # patch coord of this px
+    valid = (p >= 0) & (p <= patch - 1)
+    isrc = (p * size) // jnp.maximum(patch, 1)
+    patch_f = patch.astype(jnp.float32)
+    return (_bilinear_axis_coords(p.astype(jnp.float32), size, patch_f),
+            isrc, valid)
+
+
+def random_translate_scale(rng_translate, rng_scale, images, label_ids,
+                           x_spec, y_spec, t_prob: float,
+                           s_lo: float, s_hi: float, s_prob: float,
+                           void_class_id: int = 0):
+    """Fused translate -> scale: ONE separable resample instead of two passes.
+
+    Byte-identical to ``random_scale(.., *random_translate(..))`` — including
+    the random draws, which consume the two keys exactly as the standalone
+    ops do. The fusion works because the translation is an INTEGER shift:
+    ``scale(shift(img))[o]`` samples the shifted image x2 at taps y in
+    x2-space, and ``x2[y] = img[y - dy]`` (black/void outside) — so the
+    shift folds into the scale gather's tap indices, with per-tap validity
+    reproducing the translated border's black bleed into the bilinear
+    (round 4; kills random_translate's pad + dynamic-slice materializations,
+    the dominant cost of the geometric set per the round-3 profile).
+    """
+    n, h, w = images.shape[:3]
+    dx, dy, _, _ = _draw_translate(rng_translate, n, x_spec, y_spec, t_prob)
+    factor = _draw_scale(rng_scale, n, s_lo, s_hi, s_prob)
+
+    def one(img, lbl, sx, sy, f):
+        fy, iy, vy = _scale_axis(h, f)
+        fx, ix, vx = _scale_axis(w, f)
+
+        # --- bilinear (images): taps shifted into source space, invalid
+        # taps contribute 0 (the translated border is black) ---
+        yf = jnp.clip(fy, 0.0, h - 1.0)
+        y0 = jnp.floor(yf).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        wy = (yf - y0)[:, None, None]
+
+        def ytap(yi):
+            ys = yi - sy
+            v = ((ys >= 0) & (ys <= h - 1)).astype(jnp.float32)[:, None, None]
+            return jnp.take(img, jnp.clip(ys, 0, h - 1), axis=0
+                            ).astype(jnp.float32) * v
+
+        rows = ytap(y0) * (1.0 - wy) + ytap(y1) * wy
+        xf = jnp.clip(fx, 0.0, w - 1.0)
+        x0 = jnp.floor(xf).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        wx = (xf - x0)[None, :, None]
+
+        def xtap(xi):
+            xs = xi - sx
+            v = ((xs >= 0) & (xs <= w - 1)).astype(jnp.float32)[None, :, None]
+            return jnp.take(rows, jnp.clip(xs, 0, w - 1), axis=1) * v
+
+        img_f = jnp.round(xtap(x0) * (1.0 - wx) + xtap(x1) * wx)
+        mask = (vy[:, None] & vx[None, :])[..., None]
+        img_o = jnp.where(mask, img_f, 0.0).astype(images.dtype)
+
+        # --- nearest (GT): composed index + composed validity -> void ---
+        lbl_o = None
+        if lbl is not None:
+            ys = jnp.clip(iy, 0, h - 1) - sy
+            xs = jnp.clip(ix, 0, w - 1) - sx
+            ty = (ys >= 0) & (ys <= h - 1)
+            tx = (xs >= 0) & (xs <= w - 1)
+            out = jnp.take(jnp.take(lbl, jnp.clip(ys, 0, h - 1), axis=0),
+                           jnp.clip(xs, 0, w - 1), axis=1)
+            lmask = (vy & ty)[:, None] & (vx & tx)[None, :]
+            lbl_o = jnp.where(lmask, out, jnp.asarray(void_class_id, lbl.dtype))
+        return img_o, lbl_o
+
+    if label_ids is None:
+        out_img = jax.vmap(lambda i, sx, sy, f: one(i, None, sx, sy, f)[0])(
+            images, dx, dy, factor)
+        return out_img, None
+    return jax.vmap(one)(images, label_ids, dx, dy, factor)
+
+
 def random_scale(rng, images, label_ids, lo: float, hi: float, prob: float,
                  void_class_id: int = 0):
     """Per-sample zoom by U(lo, hi) (host analog: augment.scale_zoom;
@@ -213,32 +322,11 @@ def random_scale(rng, images, label_ids, lo: float, hi: float, prob: float,
     jit for any traced per-sample factor.
     """
     n, h, w = images.shape[:3]
-    k1, k2 = jax.random.split(rng)
-    apply = jax.random.uniform(k1, (n,)) >= (1.0 - prob)
-    factor = jax.random.uniform(k2, (n,), minval=lo, maxval=hi)
-    factor = jnp.where(apply, factor, 1.0)
-
-    def axis(size, f):
-        patch = jnp.floor(size * f).astype(jnp.int32)  # host: int(size*factor)
-        off = jnp.abs(size - patch) // 2
-        o = jnp.arange(size, dtype=jnp.int32)
-        p = o - jnp.where(patch <= size, off, -off)  # patch coord of this px
-        valid = (p >= 0) & (p <= patch - 1)
-        # Nearest (GT): exact rational floor(p*size/patch) via int math —
-        # cv2 instead computes floor(p * double(1/(patch/size))), identical
-        # everywhere EXCEPT at exact-integer boundaries (p*size % patch == 0)
-        # where its one-ulp-low reciprocal can land one source pixel lower.
-        # The exact form is the documented behavior; the tie divergence is
-        # bounded by test (a few columns per image at rational factors,
-        # measure-zero for continuous U(lo,hi) draws).
-        isrc = (p * size) // jnp.maximum(patch, 1)
-        patch_f = patch.astype(jnp.float32)
-        return (_bilinear_axis_coords(p.astype(jnp.float32), size, patch_f),
-                isrc, valid)
+    factor = _draw_scale(rng, n, lo, hi, prob)
 
     def one(img, lbl, f):
-        fy, iy, vy = axis(h, f)
-        fx, ix, vx = axis(w, f)
+        fy, iy, vy = _scale_axis(h, f)
+        fx, ix, vx = _scale_axis(w, f)
         img_o = _bilinear_sample_hw(img, fy, fx, vy, vx).astype(images.dtype)
         lbl_o = None
         if lbl is not None:
@@ -457,12 +545,20 @@ def make_augment_fn(
             images = random_gamma(keys[8], images, *gamma)
         if flip is not None:
             images, label_ids = random_horizontal_flip(keys[2], images, label_ids, flip)
-        if translate is not None:
+        if translate is not None and scale is not None:
+            # one fused resample; byte-identical draws and outputs to the
+            # sequential pair (random_translate_scale docstring)
+            images, label_ids = random_translate_scale(
+                keys[3], keys[4], images, label_ids,
+                translate[0], translate[1], translate[2],
+                scale[0], scale[1], scale[2], void_class_id,
+            )
+        elif translate is not None:
             images, label_ids = random_translate(
                 keys[3], images, label_ids, translate[0], translate[1], translate[2],
                 void_class_id,
             )
-        if scale is not None:
+        elif scale is not None:
             images, label_ids = random_scale(
                 keys[4], images, label_ids, scale[0], scale[1], scale[2], void_class_id
             )

@@ -395,3 +395,48 @@ def test_legacy_key_stream_unchanged_without_extras(rng):
     exp = aug.random_brightness(keys[1], images, 0.8, 1.2, 0.5)
     exp, _ = aug.random_horizontal_flip(keys[2], exp, labels, 0.5)
     np.testing.assert_array_equal(np.asarray(out_i), np.asarray(exp))
+
+
+# ---------------------------------------------------------------------------
+# fused translate+scale (round 4, VERDICT r3 weak #3)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_translate_scale_bitwise_equals_sequential(rng):
+    """random_translate_scale must be BYTE-identical to the sequential pair
+    — same draws (it consumes the two keys exactly as the standalone ops)
+    and same outputs (the integer shift folds into the scale taps; border
+    bleed into the bilinear included)."""
+    import jax
+
+    from fcn8s_tensorflow_tpu.ops.augment_device import (
+        random_scale,
+        random_translate,
+        random_translate_scale,
+    )
+
+    n, h, w = 4, 40, 56
+    images = jnp.asarray(rng.integers(0, 255, (n, h, w, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 6, (n, h, w), dtype=np.uint8))
+    kt, ks = jax.random.split(jax.random.key(7, impl="rbg"))
+    spec = dict(x_spec=(0, 9), y_spec=(0, 5), t_prob=0.8)
+
+    for s_lo, s_hi in [(0.6, 0.95), (1.05, 1.6), (0.7, 1.5)]:
+        im_seq, lb_seq = random_translate(kt, images, labels,
+                                          spec["x_spec"], spec["y_spec"],
+                                          spec["t_prob"], void_class_id=2)
+        im_seq, lb_seq = random_scale(ks, im_seq, lb_seq, s_lo, s_hi, 0.9,
+                                      void_class_id=2)
+        im_fused, lb_fused = random_translate_scale(
+            kt, ks, images, labels, spec["x_spec"], spec["y_spec"],
+            spec["t_prob"], s_lo, s_hi, 0.9, void_class_id=2)
+        np.testing.assert_array_equal(np.asarray(im_fused), np.asarray(im_seq))
+        np.testing.assert_array_equal(np.asarray(lb_fused), np.asarray(lb_seq))
+
+    # image-only path (no labels)
+    im_seq, _ = random_translate(kt, images, None, 4, 3, 0.7)
+    im_seq, _ = random_scale(ks, im_seq, None, 0.8, 1.2, 0.7)
+    im_fused, lb_none = random_translate_scale(kt, ks, images, None, 4, 3, 0.7,
+                                               0.8, 1.2, 0.7)
+    assert lb_none is None
+    np.testing.assert_array_equal(np.asarray(im_fused), np.asarray(im_seq))
