@@ -1217,7 +1217,8 @@ class FCN8s:
         return images, (n, h, w)
 
     def score_benchmark(self, dataset_dir, results_dir, *, split="val",
-                        id_map=None, batch_size=8, use_ema=False, tile=None,
+                        id_map=None, batch_size=8, use_ema=False,
+                        quantized=False, tile=None,
                         tile_overlap=128, tile_blend=False,
                         instance_level=True, quiet=True, export_file=None):
         """One-call Cityscapes-benchmark scoring: predict every ``split``
@@ -1234,7 +1235,10 @@ class FCN8s:
         ids to the benchmark's labelId space — defaults to
         ``labels.TRAINIDS_TO_IDS_ARRAY`` for the modified 20-class trainId
         scheme; required explicitly otherwise. Prediction knobs
-        (``use_ema``/``tile``/``tile_blend``) pass through. ``quiet``
+        (``use_ema``/``quantized``/``tile``/``tile_blend``) pass through —
+        ``quantized=True`` scores the calibrated-int8 serving path, so the
+        int8 accuracy cost is measurable in the SAME closed loop as bf16
+        (benchmarks/int8_closed_loop.py). ``quiet``
         (default True) silences the whole pipeline — per-city prediction
         banners/progress bars AND the scorer's terminal report.
 
@@ -1286,7 +1290,8 @@ class FCN8s:
             self.predict_and_save(
                 results_dir, city_dir, output_format="ids", id_map=id_map,
                 batch_size=batch_size, overwrite_existing=False,
-                use_ema=use_ema, tile=tile, tile_overlap=tile_overlap,
+                use_ema=use_ema, quantized=quantized, tile=tile,
+                tile_overlap=tile_overlap,
                 tile_blend=tile_blend, verbose=not quiet,
             )
 
@@ -1605,6 +1610,7 @@ class FCN8s:
         output_format="overlay",
         id_map=None,
         use_ema=False,
+        quantized=False,
         verbose=True,
     ):
         """Segment every image in a directory, overlay, save to disk
@@ -1651,6 +1657,8 @@ class FCN8s:
 
         ``use_ema=True`` serves the EMA-averaged weights (see
         ``train(ema_decay=...)``) instead of the live params.
+        ``quantized=True`` serves the calibrated-int8 weights (see
+        ``predict(quantized=...)``; mutually exclusive with ``use_ema``).
 
         ``verbose=False`` suppresses the banner line and the progress bar
         (library callers that own stdout, e.g. ``score_benchmark(quiet=True)``)."""
@@ -1659,6 +1667,8 @@ class FCN8s:
         from ..viz.overlay import create_split_view, print_segmentation_onto_image
 
         ema = self._resolve_ema(use_ema, False)
+        if quantized and use_ema:
+            raise ValueError("quantized and use_ema are mutually exclusive")
         if overwrite_existing and os.path.exists(results_dir):
             shutil.rmtree(results_dir)
         os.makedirs(results_dir, exist_ok=True)
@@ -1783,7 +1793,7 @@ class FCN8s:
                     # mega-resolution path: one fixed-shape tile executable,
                     # synchronous per chunk (see ``predict(tile=...)``)
                     dev, n = (
-                        self._predict_tiled(images_host, True, ov, False,
+                        self._predict_tiled(images_host, True, ov, quantized,
                                             tile, tile_overlap, params=ema,
                                             blend=tile_blend),
                         images_host.shape[0],
@@ -1793,7 +1803,7 @@ class FCN8s:
                         images_host, pad_batch_to=batch_size
                     )
                     dev = self._dispatch_predict(padded, argmax=True, overlay=ov,
-                                                 params=ema)
+                                                 quantized=quantized, params=ema)
                 pending.append((chunk, dev, images_host, n))
                 if len(pending) >= 2:  # double-buffer: keep one in flight
                     flush(pending)

@@ -185,3 +185,58 @@ def test_calibrate_after_quantized_predict(rng):
     b = model.predict(images, quantized=True)     # must recompile, not crash
     assert a.shape == b.shape
     model.close()
+
+
+@pytest.mark.slow
+def test_int8_closed_loop_miou_bound(tmp_path):
+    """VERDICT r4 #5: the int8 serving path's accuracy cost measured in the
+    CLOSED loop — train once, run `score_benchmark` bf16 and quantized=True
+    on the same model, assert the mIoU delta is bounded. (The measured real
+    number on hardware lives in benchmarks/int8_closed_loop.json.)"""
+    import os
+    import sys
+
+    from PIL import Image
+
+    from fcn8s_tensorflow_tpu.engine.model import FCN8s
+    from fcn8s_tensorflow_tpu.engine.schedules import constant
+    from fcn8s_tensorflow_tpu.labels import IDS_TO_TRAINIDS_ARRAY, NUM_TRAIN_CLASSES
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+    from int8_closed_loop import synth_labelid_scene
+
+    rng = np.random.default_rng(0)
+    H, W = 64, 128
+    img_dir = tmp_path / "leftImg8bit" / "val" / "synth"
+    gt_dir = tmp_path / "gtFine" / "val" / "synth"
+    img_dir.mkdir(parents=True), gt_dir.mkdir(parents=True)
+    val_rng = np.random.default_rng(999)
+    for i in range(3):
+        img, gt = synth_labelid_scene(val_rng, H, W)
+        name = f"synth_000000_{i:06d}"
+        Image.fromarray(img).save(img_dir / f"{name}_leftImg8bit.png")
+        Image.fromarray(gt).save(gt_dir / f"{name}_gtFine_labelIds.png")
+        Image.fromarray(gt.astype(np.uint16)).save(
+            gt_dir / f"{name}_gtFine_instanceIds.png")
+
+    def gen():
+        while True:
+            imgs, gts = zip(*(synth_labelid_scene(rng, H, W) for _ in range(4)))
+            yield (np.stack(imgs),
+                   IDS_TO_TRAINIDS_ARRAY[np.stack(gts)].astype(np.uint8))
+
+    model = FCN8s(num_classes=NUM_TRAIN_CLASSES, width_mult=1 / 16,
+                  fc_channels=64, compute_dtype=jnp.float32)
+    model.train(gen(), epochs=1, steps_per_epoch=60,
+                learning_rate_schedule=constant(3e-3), keep_prob=1.0,
+                record_summaries=False)
+
+    scores = {}
+    for tag, quantized in (("bf16", False), ("int8", True)):
+        r = model.score_benchmark(str(tmp_path), str(tmp_path / f"res_{tag}"),
+                                  quantized=quantized, batch_size=4,
+                                  instance_level=False)
+        scores[tag] = float(r["averageScoreClasses"])
+    # the model must have learned something for the delta to mean anything
+    assert scores["bf16"] > 0.3, scores
+    assert abs(scores["bf16"] - scores["int8"]) < 0.05, scores
