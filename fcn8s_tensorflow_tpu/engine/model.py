@@ -863,53 +863,21 @@ class FCN8s:
                         g_step, dict(zip(self.metric_names, self.metric_values))
                     )
 
-            # --- periodic save (reference `:614-642`) ---
-            if save_during_training and epoch % save_frequency == 0:
-                should_save = True
-                if save_best_only:
-                    should_save = self._monitor_improved(monitor, metrics, epoch, eval_frequency)
-                if should_save:
-                    self.save(
-                        model_save_dir=save_dir,
-                        saver=saver,
-                        tags=save_tags,
-                        name=save_name or None,
-                        block=False,  # overlap D2H + serialization with training
-                    )
-
-            # --- best-value bookkeeping (reference `:649-658`) ---
-            if self.training_loss is not None and self.training_loss < self.best_training_loss:
-                self.best_training_loss = self.training_loss
-            for i, name in enumerate(self.metric_names):
-                if i < len(self.metric_values):
-                    if name == "loss":
-                        if self.metric_values[i] < self.best_metric_values[i]:
-                            self.best_metric_values[i] = self.metric_values[i]
-                    elif self.metric_values[i] > self.best_metric_values[i]:
-                        self.best_metric_values[i] = self.metric_values[i]
-
             evaluated = bool(metrics and eval_frequency
                              and epoch % eval_frequency == 0
                              and self.metric_values)
-
-            if train_log:
-                record = {
-                    "epoch": epoch,
-                    "global_step": g_step,
-                    "training_loss": self.training_loss,
-                    "learning_rate": float(learning_rate),
-                    "time": time.time(),
-                }
-                if evaluated:
-                    record.update(
-                        {f"eval_{n}": float(v) for n, v in
-                         zip(self.metric_names, self.metric_values)})
-                # short-lived append per epoch: crash/interrupt-safe (no
-                # handle outlives the loop) and each record is durable
-                with open(train_log, "a") as log_f:
-                    log_f.write(json.dumps(record) + "\n")
+            # the LR the epoch actually trained with, for the train_log
+            # record (the plateau annealer below may change it for the NEXT
+            # epoch's steps)
+            epoch_lr = learning_rate
 
             # --- LR plateau + early stopping (beyond the reference) ---
+            # Updated BEFORE the save so the checkpoint carries THIS epoch's
+            # observer state: with the old post-save ordering a resumed run's
+            # annealer was one observation stale, so the plateau fired one
+            # eval later than in the uninterrupted run and the LR streams
+            # (and thus the params) diverged from the kill point on.
+            stop_early = False
             if early_stopping is not None or reduce_lr_on_plateau is not None:
                 if monitor == "loss" and "loss" not in self.metric_names:
                     obs = self.training_loss
@@ -938,7 +906,6 @@ class FCN8s:
                             print(f"Plateau: '{monitor}' stalled "
                                   f"{rp_patience} observations — learning "
                                   f"rate scaled to {learning_rate:.3e}.")
-                stop_early = False
                 if obs is not None and early_stopping is not None:
                     if _improved(obs, es_best, es_min_delta):
                         es_best, es_stale = obs, 0
@@ -958,8 +925,51 @@ class FCN8s:
                 if early_stopping is not None:
                     observer_state.update(es_best=es_best, es_stale=es_stale)
                 self._observer_state = observer_state
-                if stop_early:
-                    break
+
+            # --- periodic save (reference `:614-642`) ---
+            if save_during_training and epoch % save_frequency == 0:
+                should_save = True
+                if save_best_only:
+                    should_save = self._monitor_improved(monitor, metrics, epoch, eval_frequency)
+                if should_save:
+                    self.save(
+                        model_save_dir=save_dir,
+                        saver=saver,
+                        tags=save_tags,
+                        name=save_name or None,
+                        block=False,  # overlap D2H + serialization with training
+                    )
+
+            # --- best-value bookkeeping (reference `:649-658`) ---
+            if self.training_loss is not None and self.training_loss < self.best_training_loss:
+                self.best_training_loss = self.training_loss
+            for i, name in enumerate(self.metric_names):
+                if i < len(self.metric_values):
+                    if name == "loss":
+                        if self.metric_values[i] < self.best_metric_values[i]:
+                            self.best_metric_values[i] = self.metric_values[i]
+                    elif self.metric_values[i] > self.best_metric_values[i]:
+                        self.best_metric_values[i] = self.metric_values[i]
+
+            if train_log:
+                record = {
+                    "epoch": epoch,
+                    "global_step": g_step,
+                    "training_loss": self.training_loss,
+                    "learning_rate": float(epoch_lr),
+                    "time": time.time(),
+                }
+                if evaluated:
+                    record.update(
+                        {f"eval_{n}": float(v) for n, v in
+                         zip(self.metric_names, self.metric_values)})
+                # short-lived append per epoch: crash/interrupt-safe (no
+                # handle outlives the loop) and each record is durable
+                with open(train_log, "a") as log_f:
+                    log_f.write(json.dumps(record) + "\n")
+
+            if stop_early:
+                break
 
         if logger is not None:
             logger.flush()

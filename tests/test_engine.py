@@ -832,6 +832,45 @@ def test_plateau_state_resumes_from_checkpoint(tmp_path):
 
 
 @pytest.mark.slow
+def test_in_training_save_carries_current_epoch_observer_state(tmp_path):
+    """Regression (round-4 endurance run): in-training checkpoints used to be
+    written BEFORE the epoch's plateau/early-stopping update, so a resumed
+    run's annealer was one observation stale and its LR stream diverged from
+    the uninterrupted run. The checkpoint saved on the epoch the plateau
+    fires must carry the post-fire state, and a resume must train its first
+    epoch at the same LR the uninterrupted run would use next."""
+    import json
+
+    save_dir = str(tmp_path / "ckpts")
+    model = FCN8s(num_classes=NUM_CLASSES, **TINY)
+    images, labels = _toy_batch()
+    plateau = {"patience": 2, "factor": 0.5, "min_delta": 10.0}
+    # patience=2 + min_delta=10 -> the annealer fires at the end of epoch 3
+    model.train(train_generator=_repeat_batches(images, labels), epochs=3,
+                steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+                keep_prob=1.0, record_summaries=False, eval_frequency=None,
+                reduce_lr_on_plateau=plateau,
+                save_during_training=True, save_dir=save_dir,
+                save_best_only=False, save_frequency=1)
+
+    resumed = FCN8s.resume(save_dir)
+    staged = resumed._observer_pending
+    assert staged["lr_scale"] == pytest.approx(0.5)  # post-fire, not stale
+    assert staged["rp_stale"] == 0
+    log_path = str(tmp_path / "resumed.jsonl")
+    resumed.train(train_generator=_repeat_batches(images, labels), epochs=1,
+                  steps_per_epoch=1, learning_rate_schedule=constant(1e-3),
+                  keep_prob=1.0, record_summaries=False, eval_frequency=None,
+                  reduce_lr_on_plateau=plateau, train_log=log_path)
+    lrs = [json.loads(line)["learning_rate"] for line in open(log_path)]
+    # the uninterrupted run's epoch 4 trains at the halved LR; so must the
+    # resumed run's first epoch
+    np.testing.assert_allclose(lrs, [5e-4])
+    resumed.close()
+    model.close()
+
+
+@pytest.mark.slow
 def test_plateau_min_lr_does_not_floor_base_schedule(tmp_path):
     """Keras semantics: min_lr bounds reductions only — a base schedule
     already below min_lr must pass through untouched when no reduction
