@@ -16,7 +16,13 @@ Capability map to the Qt tool's core loop:
 * insert a vertex mid-edge (select mode: click on an edge of the selected
   polygon — the browser twin of ``annotation.CsObject.insert_vertex``);
 * undo (button / 'z' / Ctrl+Z) — snapshot history of every mutating edit
-  (vertex add, polygon close, vertex drag, vertex insert, delete);
+  (vertex add, polygon close, vertex drag, vertex insert, delete,
+  correction-box edits);
+* correction mode ('c') — the Qt tool's review workflow
+  (`cityscapesLabelTool.py:149-234`): drag typed rectangles
+  (to-correct/to-review/resolved/question, 't' cycles, 'e' edits the
+  note) over the annotation; saved through ``prep.corrections`` as the
+  reference's LabelMe-style XML, one ``<image>.xml`` per image;
 * save — the server round-trips the result through
   ``prep.annotation.Annotation`` so what lands on disk is exactly the
   Cityscapes ``*_polygons.json`` schema the rasterizers
@@ -55,11 +61,14 @@ class AnnotationTool:
     """Filesystem/session logic, separable from the HTTP layer for tests."""
 
     def __init__(self, image_dir: str, annotation_dir: str | None = None,
-                 image_file_extension: str = "png", user: str = ""):
+                 image_file_extension: str = "png", user: str = "",
+                 corrections_dir: str | None = None):
         self.image_dir = image_dir
         self.annotation_dir = annotation_dir or image_dir
+        self.corrections_dir = corrections_dir or self.annotation_dir
         self.user = user
         os.makedirs(self.annotation_dir, exist_ok=True)
+        os.makedirs(self.corrections_dir, exist_ok=True)
         self.image_paths = sorted(
             glob(os.path.join(image_dir, f"*.{image_file_extension}")))
         if not self.image_paths:
@@ -139,6 +148,49 @@ class AnnotationTool:
         ann.to_json_file(path)
         return path
 
+    def correction_path(self, index: int) -> str:
+        """Reference scheme (cityscapesLabelTool.py:2743-2768): the image
+        basename with the extension swapped to ``.xml``, in the corrections
+        directory (a ``gtFine_corrections`` mirror in the reference's
+        layout; here ``corrections_dir``, defaulting to the annotation
+        dir)."""
+        stem = os.path.splitext(os.path.basename(self.image_paths[index]))[0]
+        return os.path.join(self.corrections_dir, stem + ".xml")
+
+    def get_corrections(self, index: int) -> dict:
+        from .corrections import CorrectionSheet
+
+        path = self.correction_path(index)
+        if not os.path.isfile(path):
+            w, h = self.image_size(index)
+            return {"nrows": h, "ncols": w, "boxes": []}
+        sheet = CorrectionSheet.from_xml_file(path)
+        return {"nrows": sheet.nrows, "ncols": sheet.ncols,
+                "boxes": [b.to_payload() for b in sheet.boxes]}
+
+    def save_corrections(self, index: int, payload: dict) -> str:
+        """Persist the editing payload as the reference's XML schema.
+        Saving an empty box list removes the file (an all-resolved sheet
+        should not leave a stale review marker behind)."""
+        from .corrections import CorrectionBox, CorrectionSheet
+
+        path = self.correction_path(index)
+        boxes = [CorrectionBox.from_payload(b)
+                 for b in payload.get("boxes", [])]
+        if not boxes:
+            if os.path.isfile(path):
+                os.remove(path)
+            return path
+        w, h = self.image_size(index)
+        name = os.path.basename(self.image_paths[index])
+        # reference folder header: "StereoDataset/<city>" (city = first
+        # underscore-separated token of the Cityscapes filename)
+        sheet = CorrectionSheet(filename=name,
+                                folder="StereoDataset/" + name.split("_")[0],
+                                nrows=h, ncols=w, boxes=boxes)
+        sheet.to_xml_file(path)
+        return path
+
     def preview_png(self, index: int, alpha: float = 0.5) -> bytes:
         """The saved annotation rasterized through the real GT path
         (create_label_image 'color') composited on the image."""
@@ -172,23 +224,28 @@ _EDITOR_HTML = """<!doctype html>
   <button id="prev">&larr;</button><span id="name"></span><button id="next">&rarr;</button>
   <button id="draw" class="on">draw (d)</button>
   <button id="select">select (s)</button>
+  <button id="correct">correct (c)</button>
   <select id="label"></select>
   <button id="del">delete poly (Del)</button>
   <button id="undo">undo (z)</button>
   <button id="save">save (w)</button>
   <button id="preview">preview raster</button>
   <span id="status"></span>
+  <span id="corrhint" style="opacity:.6;display:none">drag box · t: cycle type · e: edit note</span>
 </div>
 <div id="stage"><canvas id="cv"></canvas></div>
 <script>
 let IMAGES=[], LABELS=[], idx=0, ann={objects:[]}, img=new Image(), mode="draw";
 let current=[], selected=-1, dragV=null, scale=1, ox=0, oy=0, panning=null, dirty=false;
+let corr={boxes:[]}, selCorr=-1, boxDrag=null;  // correction layer (reference correction mode)
+const CORR_COLORS={1:"#f00",2:"#ff0",3:"#0f0",4:"#28f"};  // to-correct/review/resolved/question
 let history=[];
-function snap(){history.push(JSON.stringify({objects:ann.objects,current}));
+function snap(){history.push(JSON.stringify({objects:ann.objects,current,boxes:corr.boxes}));
   if(history.length>200)history.shift();}
 function undo(){if(!history.length)return;
   const s=JSON.parse(history.pop());ann.objects=s.objects;current=s.current;
-  selected=-1;dragV=null;dirty=true;draw();}
+  corr.boxes=s.boxes||corr.boxes;
+  selected=-1;selCorr=-1;dragV=null;dirty=true;draw();}
 const cv=document.getElementById("cv"), cx=cv.getContext("2d");
 const colorOf=n=>{const l=LABELS.find(l=>l.name===n);return l?`rgb(${l.color})`:"#fff";};
 async function j(u,o){const r=await fetch(u,o); if(!r.ok) throw new Error(await r.text()); return r.json();}
@@ -202,7 +259,8 @@ async function init(){
 async function load(i){
   if(dirty&&!confirm("Discard unsaved changes?"))return;
   idx=(i+IMAGES.length)%IMAGES.length; ann=await j(`/api/annotation/${idx}`);
-  current=[]; selected=-1; dirty=false; history=[];
+  corr=await j(`/api/corrections/${idx}`);
+  current=[]; selected=-1; selCorr=-1; dirty=false; history=[];
   img=new Image(); img.onload=()=>{cv.width=img.width; cv.height=img.height; draw();};
   img.src=`/api/image/${idx}?` + Date.now();
   document.getElementById("name").textContent=
@@ -221,6 +279,19 @@ function draw(previewSrc){
     cx.beginPath(); current.forEach(([x,y],k)=>k?cx.lineTo(x,y):cx.moveTo(x,y));
     cx.strokeStyle="#ff0"; cx.lineWidth=1.5; cx.stroke();
     for(const [x,y] of current){cx.fillStyle="#ff0";cx.fillRect(x-2.5,y-2.5,5,5);}
+  }
+  corr.boxes.forEach((b,i)=>{
+    cx.strokeStyle=CORR_COLORS[b.type]||"#f00"; cx.lineWidth=i===selCorr?3:1.8;
+    cx.setLineDash(i===selCorr?[]:[6,4]);
+    cx.strokeRect(b.x,b.y,b.width,b.height); cx.setLineDash([]);
+    if(b.annotation){cx.font="12px sans-serif";cx.fillStyle=CORR_COLORS[b.type]||"#f00";
+      cx.fillText(b.annotation,b.x+2,Math.max(10,b.y-3));}
+  });
+  if(boxDrag&&boxDrag.cur){
+    cx.strokeStyle="#f00"; cx.lineWidth=1.5; cx.setLineDash([4,3]);
+    cx.strokeRect(Math.min(boxDrag.x0,boxDrag.cur[0]),Math.min(boxDrag.y0,boxDrag.cur[1]),
+      Math.abs(boxDrag.cur[0]-boxDrag.x0),Math.abs(boxDrag.cur[1]-boxDrag.y0));
+    cx.setLineDash([]);
   }
   cv.style.transform=`translate(${ox}px,${oy}px) scale(${scale})`;
 }
@@ -245,6 +316,10 @@ function edgeHit(p,poly){ // nearest edge within tolerance -> insertion point
 cv.addEventListener("mousedown",e=>{
   const p=pos(e);
   if(e.button===1||e.shiftKey){panning=[e.clientX-ox,e.clientY-oy];return;}
+  if(mode==="correct"){
+    selCorr=corr.boxes.findIndex(b=>p[0]>=b.x&&p[0]<=b.x+b.width&&p[1]>=b.y&&p[1]<=b.y+b.height);
+    if(selCorr<0) boxDrag={x0:Math.round(p[0]),y0:Math.round(p[1]),cur:null};
+    draw();return;}
   if(mode==="draw"){snap();current.push([Math.round(p[0]),Math.round(p[1])]);dirty=true;draw();return;}
   if(selected>=0){ // vertex hit?
     const poly=ann.objects[selected].polygon;
@@ -257,10 +332,21 @@ cv.addEventListener("mousedown",e=>{
 });
 cv.addEventListener("mousemove",e=>{
   if(panning){ox=e.clientX-panning[0];oy=e.clientY-panning[1];draw();return;}
+  if(boxDrag){boxDrag.cur=pos(e).map(Math.round);draw();return;}
   if(dragV!=null&&selected>=0){const p=pos(e);
     ann.objects[selected].polygon[dragV]=[Math.round(p[0]),Math.round(p[1])];dirty=true;draw();}
 });
-addEventListener("mouseup",()=>{dragV=null;panning=null;});
+addEventListener("mouseup",()=>{
+  if(boxDrag){
+    const d=boxDrag; boxDrag=null;
+    if(d.cur&&Math.abs(d.cur[0]-d.x0)>=3&&Math.abs(d.cur[1]-d.y0)>=3){
+      snap();
+      corr.boxes.push({x:Math.min(d.x0,d.cur[0]),y:Math.min(d.y0,d.cur[1]),
+        width:Math.abs(d.cur[0]-d.x0),height:Math.abs(d.cur[1]-d.y0),
+        type:1,annotation:prompt("correction note:","")||""});
+      selCorr=corr.boxes.length-1;dirty=true;}
+    draw();}
+  dragV=null;panning=null;});
 cv.addEventListener("dblclick",e=>{e.preventDefault();closePoly();});
 cv.addEventListener("wheel",e=>{e.preventDefault();
   scale=Math.min(16,Math.max(0.2,scale*(e.deltaY<0?1.15:0.87)));draw();},{passive:false});
@@ -273,9 +359,12 @@ function closePoly(){
 }
 function setMode(m){mode=m;
   document.getElementById("draw").classList.toggle("on",m==="draw");
-  document.getElementById("select").classList.toggle("on",m==="select");}
+  document.getElementById("select").classList.toggle("on",m==="select");
+  document.getElementById("correct").classList.toggle("on",m==="correct");
+  document.getElementById("corrhint").style.display=m==="correct"?"":"none";}
 async function save(){
   await j(`/api/annotation/${idx}`,{method:"POST",body:JSON.stringify(ann)});
+  await j(`/api/corrections/${idx}`,{method:"POST",body:JSON.stringify(corr)});
   IMAGES[idx].annotated=true;dirty=false;
   document.getElementById("status").textContent="saved";
   setTimeout(()=>document.getElementById("status").textContent="",1200);
@@ -284,6 +373,7 @@ document.getElementById("prev").onclick=()=>load(idx-1);
 document.getElementById("next").onclick=()=>load(idx+1);
 document.getElementById("draw").onclick=()=>setMode("draw");
 document.getElementById("select").onclick=()=>setMode("select");
+document.getElementById("correct").onclick=()=>setMode("correct");
 document.getElementById("del").onclick=()=>{
   if(selected>=0){snap();ann.objects.splice(selected,1);selected=-1;dirty=true;draw();}};
 document.getElementById("undo").onclick=undo;
@@ -293,9 +383,17 @@ document.getElementById("preview").onclick=()=>{
 addEventListener("keydown",e=>{
   if(e.key==="ArrowRight")load(idx+1); else if(e.key==="ArrowLeft")load(idx-1);
   else if(e.key==="d")setMode("draw"); else if(e.key==="s")setMode("select");
-  else if(e.key==="Enter")closePoly(); else if(e.key==="Escape"){current=[];draw();}
+  else if(e.key==="c")setMode("correct");
+  else if(e.key==="t"&&selCorr>=0){snap();
+    corr.boxes[selCorr].type=corr.boxes[selCorr].type%4+1;dirty=true;draw();}
+  else if(e.key==="e"&&selCorr>=0){snap();
+    corr.boxes[selCorr].annotation=prompt("correction note:",corr.boxes[selCorr].annotation)
+      ??corr.boxes[selCorr].annotation;dirty=true;draw();}
+  else if(e.key==="Enter")closePoly(); else if(e.key==="Escape"){current=[];boxDrag=null;draw();}
   else if(e.key==="w")save();
   else if(e.key==="z"||(e.ctrlKey&&e.key==="Z")){e.preventDefault();undo();}
+  else if(e.key==="Delete"&&mode==="correct"&&selCorr>=0){
+    snap();corr.boxes.splice(selCorr,1);selCorr=-1;dirty=true;draw();}
   else if(e.key==="Delete"&&selected>=0){snap();ann.objects.splice(selected,1);selected=-1;dirty=true;draw();}
 });
 init();
@@ -334,6 +432,8 @@ def make_server(tool: AnnotationTool, host: str = "127.0.0.1", port: int = 8010)
                     self._send(200, tool.image_bytes(int(path.rsplit("/", 1)[1])), "image/png")
                 elif path.startswith("/api/annotation/"):
                     self._json(tool.get_annotation(int(path.rsplit("/", 1)[1])))
+                elif path.startswith("/api/corrections/"):
+                    self._json(tool.get_corrections(int(path.rsplit("/", 1)[1])))
                 elif path.startswith("/api/preview/"):
                     self._send(200, tool.preview_png(int(path.rsplit("/", 1)[1])), "image/png")
                 else:
@@ -348,6 +448,11 @@ def make_server(tool: AnnotationTool, host: str = "127.0.0.1", port: int = 8010)
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length))
                     saved = tool.save_annotation(int(path.rsplit("/", 1)[1]), payload)
+                    self._json({"saved": os.path.basename(saved)})
+                elif path.startswith("/api/corrections/"):
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length))
+                    saved = tool.save_corrections(int(path.rsplit("/", 1)[1]), payload)
                     self._json({"saved": os.path.basename(saved)})
                 else:
                     self._json({"error": "not found"}, 404)

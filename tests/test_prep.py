@@ -356,3 +356,145 @@ def test_label_tool_undo_and_edge_insert_roundtrip(label_tool_server):
     obj.delete_vertex(1)                      # back to the square
     obj.insert_vertex(1, *pt)                 # the tool's insert
     assert [[p.x, p.y] for p in obj.polygon] == back
+
+
+# ---------------------------------------------------------------------------
+# correction layers (prep/corrections.py) — the reference label tool's
+# review workflow (cityscapesLabelTool.py:149-234, 826-885, 2743-2768)
+# ---------------------------------------------------------------------------
+def test_correction_xml_reference_schema_roundtrip(tmp_path):
+    """Parse a hand-written XML in the reference's exact layout, round-trip
+    it through CorrectionSheet, and check the re-written file is
+    schema-identical (tags, nesting, int formatting)."""
+    import xml.etree.ElementTree as ET
+
+    from fcn8s_tensorflow_tpu.prep.corrections import (
+        QUESTION, RESOLVED, TO_CORRECT, CorrectionBox, CorrectionSheet)
+
+    ref_xml = """<correction>
+<filename>city_000000_000000_leftImg8bit.png</filename>
+<folder>StereoDataset/city</folder>
+<source>
+<sourceImage>Label Cities</sourceImage>
+<sourceAnnotation>mcLabelTool</sourceAnnotation>
+</source>
+<imagesize>
+<nrows>60</nrows>
+<ncols>80</ncols>
+</imagesize>
+<correction>
+<type>1</type>
+<annotation>rider mislabeled</annotation>
+<bbox>
+<x>10</x>
+<y>20</y>
+<width>30</width>
+<height>15</height>
+</bbox>
+</correction>
+<correction>
+<type>4</type>
+<annotation>is this a bridge?</annotation>
+<bbox>
+<x>40</x>
+<y>5</y>
+<width>12</width>
+<height>8</height>
+</bbox>
+</correction>
+</correction>
+"""
+    src = tmp_path / "ref.xml"
+    src.write_text(ref_xml)
+    sheet = CorrectionSheet.from_xml_file(str(src))
+    assert sheet.filename == "city_000000_000000_leftImg8bit.png"
+    assert sheet.folder == "StereoDataset/city"
+    assert (sheet.nrows, sheet.ncols) == (60, 80)
+    assert len(sheet.boxes) == 2
+    b0, b1 = sheet.boxes
+    assert (b0.x, b0.y, b0.width, b0.height) == (10, 20, 30, 15)
+    assert b0.type == TO_CORRECT and b0.annotation == "rider mislabeled"
+    assert b1.type == QUESTION and b1.annotation == "is this a bridge?"
+
+    # re-write and compare element trees structurally (whitespace-free)
+    out = tmp_path / "out.xml"
+    sheet.to_xml_file(str(out))
+
+    def normalize(el):
+        return (el.tag, (el.text or "").strip(),
+                [normalize(c) for c in el])
+
+    assert normalize(ET.parse(str(out)).getroot()) == normalize(
+        ET.parse(str(src)).getroot())
+
+    # float coords round to int like the reference's appendToXMLNode
+    fb = CorrectionBox(x=1.6, y=2.4, width=9.5, height=3.0, type=RESOLVED)
+    assert (fb.x, fb.y, fb.width, fb.height) == (2, 2, 10, 3)
+    with pytest.raises(ValueError, match="correction type"):
+        CorrectionBox(x=0, y=0, width=1, height=1, type=7)
+
+
+def test_label_tool_corrections_http_roundtrip(label_tool_server):
+    """POST a correction sheet, read it back, check the on-disk XML is the
+    reference schema, and that the served page ships the correction-mode
+    wiring. An empty POST removes the file (all-resolved cleanup)."""
+    import json as _json
+    import urllib.request
+    import xml.etree.ElementTree as ET
+
+    from fcn8s_tensorflow_tpu.prep.corrections import TO_REVIEW
+
+    base, tool, tmp_path = label_tool_server
+
+    # blank sheet for an unannotated image
+    blank = _get_json(base + "/api/corrections/0")
+    assert blank == {"nrows": 60, "ncols": 80, "boxes": []}
+
+    payload = {"boxes": [
+        {"x": 5, "y": 6, "width": 20, "height": 10, "type": TO_REVIEW,
+         "annotation": "check the pole"},
+    ]}
+    req = urllib.request.Request(base + "/api/corrections/0",
+                                 data=_json.dumps(payload).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        saved = _json.loads(r.read())
+    assert saved["saved"] == "city_000000_000000_leftImg8bit.xml"
+
+    back = _get_json(base + "/api/corrections/0")
+    assert back["boxes"] == [{"x": 5, "y": 6, "width": 20, "height": 10,
+                              "type": TO_REVIEW,
+                              "annotation": "check the pole"}]
+
+    # on-disk: reference schema (root <correction>, LabelMe-style header)
+    root = ET.parse(tool.correction_path(0)).getroot()
+    assert root.tag == "correction"
+    assert root.findtext("filename") == "city_000000_000000_leftImg8bit.png"
+    assert root.findtext("folder") == "StereoDataset/city"
+    assert root.find("source").findtext("sourceAnnotation") == "mcLabelTool"
+    assert root.find("imagesize").findtext("ncols") == "80"  # real width
+    assert root.find("correction").find("bbox").findtext("width") == "20"
+
+    # bad type -> 400, not a server error
+    bad = {"boxes": [{"x": 0, "y": 0, "width": 1, "height": 1, "type": 9}]}
+    req = urllib.request.Request(base + "/api/corrections/0",
+                                 data=_json.dumps(bad).encode(), method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    # the page ships correction mode
+    page = urllib.request.urlopen(base + "/", timeout=30).read().decode()
+    for token in ['id="correct"', "CORR_COLORS", "/api/corrections/",
+                  'e.key==="t"', 'e.key==="c"']:
+        assert token in page, token
+
+    # empty sheet deletes the file
+    req = urllib.request.Request(base + "/api/corrections/0",
+                                 data=_json.dumps({"boxes": []}).encode(),
+                                 method="POST")
+    urllib.request.urlopen(req, timeout=30).read()
+    assert not os.path.isfile(tool.correction_path(0))
+    assert _get_json(base + "/api/corrections/0")["boxes"] == []
