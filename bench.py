@@ -149,13 +149,19 @@ def main():
     # fwd + dgrad + wgrad ~= 3x forward MACs, 2 FLOPs per MAC. Peak is the
     # per-chip bf16 matmul peak for the detected device kind; mfu is null
     # (never guessed) on unknown hardware.
-    _PEAK_BF16_TFLOPS = {
-        "TPU v5 lite": 197.0,  # v5e datasheet bf16 peak per chip
-        "TPU v5e": 197.0,
-        "TPU v4": 275.0,
-        "TPU v5p": 459.0,
-        "TPU v6 lite": 918.0,
-    }
+    # Ordered substring match against jax device_kind. Real kind strings:
+    # v5e reports "TPU v5 lite", v5p reports "TPU v5"/"TPU v5p" (release-
+    # dependent) — so the lite entries MUST precede the bare "TPU v5" one,
+    # which would otherwise shadow them.
+    _PEAK_BF16_TFLOPS = (
+        ("TPU v5 lite", 197.0),  # v5e datasheet bf16 peak per chip
+        ("TPU v5e", 197.0),
+        ("TPU v6 lite", 918.0),  # Trillium
+        ("TPU v6e", 918.0),
+        ("TPU v5p", 459.0),
+        ("TPU v5", 459.0),       # v5p's historical device_kind
+        ("TPU v4", 275.0),
+    )
 
     def _mfu_extras():
         from fcn8s_tensorflow_tpu.utils.summary import model_summary_rows
@@ -166,7 +172,7 @@ def main():
                 state.params, input_hw=(H, W), batch=TRAIN_BATCH))
         step_tflops = 3 * 2 * fwd_macs / 1e12
         kind = jax.devices()[0].device_kind
-        peak = next((v for k, v in _PEAK_BF16_TFLOPS.items() if k in kind), None)
+        peak = next((v for k, v in _PEAK_BF16_TFLOPS if k in kind), None)
         mfu = (step_tflops / (train_dt * n_chips)) / peak if peak else None
         log(f"mfu: {step_tflops:.2f} TFLOP/step analytic, device '{kind}' "
             f"peak {peak} TFLOPS -> {'%.3f' % mfu if mfu else 'n/a'}")

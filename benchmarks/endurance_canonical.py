@@ -251,9 +251,14 @@ def run_child(args) -> int:
             train_log=args.train_log,
             prefetch=2,
         )
+    # training_loss is None if a resume landed exactly at total_steps
+    # (killed after the final save but before result.json was written):
+    # remaining_epochs == 0 skips train() and the restored model never sets
+    # it. The run is still fully successful — don't crash on float(None).
+    loss = model.training_loss
     result = {"final_step": int(model.state.step),
               "fingerprint": fingerprint(model),
-              "training_loss": float(model.training_loss)}
+              "training_loss": float(loss) if loss is not None else None}
     with open(args.result, "w") as f:
         json.dump(result, f)
     log(f"child done: {result}")

@@ -121,6 +121,14 @@ def main():
     log(f"trained {args.steps} steps in {time.time() - t0:.0f}s, "
         f"loss {float(model.training_loss):.4f}")
 
+    # --- calibrate the static activation scales (the SHIPPED int8 path;
+    # without this, quantized=True falls back to dynamic per-tensor scales
+    # and the measured delta would be for a path serving doesn't use) ---
+    calib_imgs = np.stack([synth_labelid_scene(rng, h, w)[0]
+                           for _ in range(args.batch * 2)])
+    model.calibrate_quantization(calib_imgs, batch_size=args.batch)
+    log(f"calibrated int8 activation scales on {len(calib_imgs)} images")
+
     # --- score the SAME model through the full benchmark pipeline twice ---
     results = {}
     for tag, quantized in (("bf16", False), ("int8", True)):
@@ -138,7 +146,8 @@ def main():
     out = {
         "metric": "int8_closed_loop_miou_delta",
         "unit": "mIoU",
-        "config": vars(args) | {"classes": sorted(CLASS_COLORS)},
+        "config": vars(args) | {"classes": sorted(CLASS_COLORS),
+                                "calibration_images": int(len(calib_imgs))},
         "bf16_miou": round(results["bf16"]["miou"], 4),
         "int8_miou": round(results["int8"]["miou"], 4),
         "delta": round(delta, 4),

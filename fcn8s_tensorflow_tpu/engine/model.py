@@ -326,9 +326,19 @@ class FCN8s:
             return tuple(FCN8s._freeze_cfg(v) for v in obj)
         return obj
 
+    # Executables are big (host program + device constants); the augment
+    # keying exists so ALTERNATING configs (augmented train / plain eval-on-
+    # train) stay warm, not to retain one executable per config of a long
+    # sweep — bound the cache and evict least-recently-used beyond this.
+    _TRAIN_STEP_CACHE_MAX = 4
+
     def _get_train_step(self, batch_shape):
         key = (batch_shape, self._freeze_cfg(getattr(self, "_device_augment_cfg", None)))
-        if key not in self._train_steps:
+        if key in self._train_steps:
+            self._train_steps[key] = self._train_steps.pop(key)  # mark MRU
+        else:
+            while len(self._train_steps) >= self._TRAIN_STEP_CACHE_MAX:
+                self._train_steps.pop(next(iter(self._train_steps)))
             self._train_steps[key] = compile_train_step(
                 self.mesh,
                 self.optimizer,
@@ -1246,9 +1256,11 @@ class FCN8s:
         ``labels.TRAINIDS_TO_IDS_ARRAY`` for the modified 20-class trainId
         scheme; required explicitly otherwise. Prediction knobs
         (``use_ema``/``quantized``/``tile``/``tile_blend``) pass through —
-        ``quantized=True`` scores the calibrated-int8 serving path, so the
-        int8 accuracy cost is measurable in the SAME closed loop as bf16
-        (benchmarks/int8_closed_loop.py). ``quiet``
+        ``quantized=True`` scores the int8 serving path — calibrated static
+        activation scales if ``calibrate_quantization`` has run (the shipped
+        serving configuration; benchmarks/int8_closed_loop.py calibrates
+        first), the dynamic-scale fallback otherwise — so the int8 accuracy
+        cost is measurable in the SAME closed loop as bf16. ``quiet``
         (default True) silences the whole pipeline — per-city prediction
         banners/progress bars AND the scorer's terminal report.
 

@@ -358,10 +358,12 @@ function closePoly(){
   current=[];draw();
 }
 function setMode(m){mode=m;
+  if(m!=="correct"){selCorr=-1;boxDrag=null;}  // no hidden-box edits from other modes
   document.getElementById("draw").classList.toggle("on",m==="draw");
   document.getElementById("select").classList.toggle("on",m==="select");
   document.getElementById("correct").classList.toggle("on",m==="correct");
-  document.getElementById("corrhint").style.display=m==="correct"?"":"none";}
+  document.getElementById("corrhint").style.display=m==="correct"?"":"none";
+  draw();}
 async function save(){
   await j(`/api/annotation/${idx}`,{method:"POST",body:JSON.stringify(ann)});
   await j(`/api/corrections/${idx}`,{method:"POST",body:JSON.stringify(corr)});
@@ -384,9 +386,9 @@ addEventListener("keydown",e=>{
   if(e.key==="ArrowRight")load(idx+1); else if(e.key==="ArrowLeft")load(idx-1);
   else if(e.key==="d")setMode("draw"); else if(e.key==="s")setMode("select");
   else if(e.key==="c")setMode("correct");
-  else if(e.key==="t"&&selCorr>=0){snap();
+  else if(e.key==="t"&&mode==="correct"&&selCorr>=0){snap();
     corr.boxes[selCorr].type=corr.boxes[selCorr].type%4+1;dirty=true;draw();}
-  else if(e.key==="e"&&selCorr>=0){snap();
+  else if(e.key==="e"&&mode==="correct"&&selCorr>=0){snap();
     corr.boxes[selCorr].annotation=prompt("correction note:",corr.boxes[selCorr].annotation)
       ??corr.boxes[selCorr].annotation;dirty=true;draw();}
   else if(e.key==="Enter")closePoly(); else if(e.key==="Escape"){current=[];boxDrag=null;draw();}
