@@ -127,6 +127,7 @@ def _train(model, gen, steps, **kw):
     )
 
 
+@pytest.mark.slow
 def test_facade_class_weighted_training_and_grad_accum_match():
     images, labels = _toy()
     counts = np.bincount(labels.ravel(), minlength=3)
@@ -157,6 +158,7 @@ def test_facade_class_weighted_training_and_grad_accum_match():
     assert np.isfinite(vals["loss"])
 
 
+@pytest.mark.slow
 def test_facade_class_weights_compose_with_ignore_label():
     images, labels = _toy()
     labels = labels.copy()

@@ -93,6 +93,7 @@ def test_train_with_device_augment(rng):
     assert int(model.state.step) == 5
 
 
+@pytest.mark.slow
 def test_augment_config_switch_keeps_both_executables_cached(rng):
     """Alternating device_augment configs must not recompile: the augment
     config is part of the compiled-step cache key (ADVICE r3 — the old

@@ -51,6 +51,7 @@ def _train_steps(model, gen, n):
     )
 
 
+@pytest.mark.slow
 def test_ema_recurrence_matches_numpy_replay():
     model = FCN8s(num_classes=NUM_CLASSES, **TINY)
     images, labels = _toy_batch()
@@ -80,6 +81,7 @@ def test_ema_recurrence_matches_numpy_replay():
     assert max(deltas) > 0
 
 
+@pytest.mark.slow
 def test_use_ema_serving_and_adopt():
     model = FCN8s(num_classes=NUM_CLASSES, **TINY)
     images, labels = _toy_batch()
@@ -114,6 +116,7 @@ def test_use_ema_serving_and_adopt():
         _ = model.ema_params
 
 
+@pytest.mark.slow
 def test_ema_checkpoint_roundtrip(tmp_path):
     """The EMA average persists in checkpoints: a resumed train(ema_decay=...)
     continues the running average (same recurrence as the uninterrupted run)

@@ -670,6 +670,7 @@ def test_monitor_first_save_wins(trained_model):
 # ---------------------------------------------------------------------------
 # early stopping + JSONL train log
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_early_stopping_on_training_loss():
     """lr=0 makes every epoch's loss identical: the first observation sets
     the best, each later epoch is stale, and patience=2 stops after epoch 3
@@ -717,6 +718,7 @@ def test_early_stopping_validation():
     model.close()
 
 
+@pytest.mark.slow
 def test_train_log_jsonl(tmp_path):
     import json
 
@@ -901,6 +903,7 @@ def test_predict_and_save_tile_blend_requires_tile(trained_model, tmp_path):
                                tile_blend=True)
 
 
+@pytest.mark.slow
 def test_find_learning_rate(tmp_path):
     """LR range test: exponential sweep on the real train step, model state
     bit-restored afterwards, steepest-descent suggestion inside the range."""

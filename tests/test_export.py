@@ -76,6 +76,7 @@ def test_version_guard(model, tmp_path):
         load_serving_artifact(out)
 
 
+@pytest.mark.slow
 def test_ema_export_uses_average(tmp_path):
     """An EMA export must serve the averaged weights, not the live ones."""
     model = FCN8s(num_classes=3, **TINY)

@@ -149,6 +149,7 @@ def _train(model, gen, steps, **kw):
     )
 
 
+@pytest.mark.slow
 def test_facade_trains_255_scheme_and_grad_accum_matches():
     images, labels = _toy(n=4)
     # uneven ignore coverage across the batch so microbatch weighting matters
@@ -180,6 +181,7 @@ def test_facade_trains_255_scheme_and_grad_accum_matches():
     assert 0.0 <= vals["accuracy"] <= 1.0
 
 
+@pytest.mark.slow
 def test_ignore_label_checkpoint_roundtrip(tmp_path):
     m = FCN8s(num_classes=3, ignore_label=255, **TINY)
     images, labels = _toy()

@@ -137,6 +137,7 @@ def test_dropout_determinism_and_scaling():
     assert np.array_equal(np.asarray(dropout(x, None, 0.5, deterministic=True)), np.asarray(x))
 
 
+@pytest.mark.slow
 class TestFCNVariants:
     """FCN-16s / FCN-32s decoder variants (beyond-reference: the reference
     ships only fcn8s; the paper's family shares the encoder)."""

@@ -321,6 +321,7 @@ def test_spatial_eval_rejects_tensor_parallel(model_state):
                           example_params=state.params, spatial_partition=True)
 
 
+@pytest.mark.slow
 def test_spatial_with_grad_accum_composes(model_state, rng):
     """The two memory-scaling modes compose: width sharding + microbatch
     scan in one compiled step."""

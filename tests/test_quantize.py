@@ -84,6 +84,7 @@ def _tiny_model(num_classes=5):
                       fc_channels=64)
 
 
+@pytest.mark.slow
 def test_apply_fcn8s_int8_shapes():
     params = _tiny_model()
     q = quantize_fcn8s_params(params)
@@ -135,6 +136,7 @@ def _train_update(params, opt_state, loss_fn, opt):
     return optax.apply_updates(params, updates), opt_state
 
 
+@pytest.mark.slow
 def test_static_calibration_matches_dynamic_on_calibration_data(rng):
     """When calibrated on the same images it later sees, the static path's
     scales equal the dynamic path's (same max|x|), so outputs match to
@@ -171,6 +173,7 @@ def test_facade_calibrate_quantization(rng):
     model.close()
 
 
+@pytest.mark.slow
 def test_calibrate_after_quantized_predict(rng):
     """Calibration changes the qparams pytree STRUCTURE (act_scale leaves);
     executables compiled for the dynamic structure must be dropped

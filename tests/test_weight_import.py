@@ -171,6 +171,7 @@ def test_tf_savedmodel_roundtrip(tmp_path, rng_module):
     )
 
 
+@pytest.mark.slow
 def test_orbax_interop_roundtrip(tmp_path):
     """tools/orbax_interop.py: our checkpoint -> orbax PyTree checkpoint ->
     params-only checkpoint, bit-exact through the facade (the JAX-ecosystem
