@@ -279,23 +279,67 @@ def main():
     from collections import deque
 
     INFER_BATCH = 8 * max(1, n_chips)
+    INFER_REPS = 3  # repeat every D2H-bound row: the tunnel swings 30-60%
     b8 = shard_batch(mesh, rng.integers(0, 255, (INFER_BATCH, H, W, 3), np.uint8))
 
     def pipelined(fn, params_, tag):
+        """One D2H-bound serving row, with variance discipline (VERDICT r4):
+
+        * the pipelined (double-buffered dispatch) loop is repeated
+          INFER_REPS times; the JSON carries median + min + max + spread so
+          tunnel-transport swings are visible instead of silently folded
+          into a single number;
+        * a compute-only measurement (hard sync via a 1-element D2H of the
+          resident output — `block_until_ready` is a no-op on this
+          platform) rides alongside, so "the chip got slower" and "the
+          tunnel got slower" are distinguishable in the artifact.
+
+        All model/quantization setup (calibration, param quantization,
+        compiles) happens in the caller BEFORE this function; the warmup
+        loop additionally flushes any lazily-dispatched param computation
+        out of the timed windows.
+        """
+        import jax as _jax
+
         for _ in range(WARMUP):
             np.asarray(fn(params_, b8))
-        t0 = time.time()
-        pending = deque()
+
+        # compute-only: output stays device-resident; sync on one element
+        first_px = _jax.jit(lambda x: x.reshape(-1)[:1] + 0)
+        np.asarray(first_px(fn(params_, b8)))  # compile the probe
+        compute_ms = []
         for _ in range(ITERS):
-            pending.append(fn(params_, b8))
-            if len(pending) >= 2:
+            t0 = time.time()
+            np.asarray(first_px(fn(params_, b8)))
+            compute_ms.append((time.time() - t0) * 1e3)
+        compute_sync_ms = float(np.median(compute_ms))
+
+        rates = []
+        for _ in range(INFER_REPS):
+            t0 = time.time()
+            pending = deque()
+            for _ in range(ITERS):
+                pending.append(fn(params_, b8))
+                if len(pending) >= 2:
+                    np.asarray(pending.popleft())
+            while pending:
                 np.asarray(pending.popleft())
-        while pending:
-            np.asarray(pending.popleft())
-        dt = (time.time() - t0) / ITERS
-        log(f"infer {tag}: {dt * 1e3:.1f} ms/batch{INFER_BATCH} "
-            f"-> {INFER_BATCH / dt:.1f} img/s")
-        return INFER_BATCH / dt
+            dt = (time.time() - t0) / ITERS
+            rates.append(INFER_BATCH / dt)
+        med = float(np.median(rates))
+        stats = {
+            "images_per_sec_per_chip": round(med / n_chips, 2),
+            "images_per_sec_per_chip_min": round(min(rates) / n_chips, 2),
+            "images_per_sec_per_chip_max": round(max(rates) / n_chips, 2),
+            "spread_pct": round(100.0 * (max(rates) - min(rates)) / med, 1),
+            "reps": INFER_REPS,
+            "compute_sync_ms": round(compute_sync_ms, 1),
+        }
+        log(f"infer {tag}: median {INFER_BATCH / med * 1e3:.1f} ms/batch{INFER_BATCH} "
+            f"-> {med:.1f} img/s (min {min(rates):.1f}, max {max(rates):.1f}, "
+            f"spread {stats['spread_pct']:.0f}%), compute-sync "
+            f"{compute_sync_ms:.1f} ms")
+        return stats
 
     def guarded(section, fn):
         try:
@@ -319,6 +363,11 @@ def main():
 
         absmax = jax.jit(collect_activation_absmax)(state.params, b8)
         qparams = jax.jit(quantize_fcn8s_params)(state.params, absmax)
+        # hard-sync the quantized params so calibration/quantization compute
+        # is STRICTLY outside every timed window below (dispatch is async
+        # and block_until_ready is a no-op on this platform: fetch one
+        # element of one output leaf — the executable runs as a unit)
+        np.asarray(jax.tree.leaves(qparams)[0]).ravel()[:1]
         pred_q = compile_predict_step(
             mesh, argmax=True, example_params=qparams, id_dtype=jnp.uint8,
             quantized=True)
@@ -340,12 +389,12 @@ def main():
         "peak_bf16_tflops_per_chip": None,
         "mfu": None,
     }
-    batched_imgs_per_sec = guarded("batched", _batched)
-    quant_imgs_per_sec = guarded("int8", _int8)
-    overlay_imgs_per_sec = guarded("overlay", _overlay)
+    batched_stats = guarded("batched", _batched)
+    quant_stats = guarded("int8", _int8)
+    overlay_stats = guarded("overlay", _overlay)
 
-    def _per_chip(v):
-        return round(v / n_chips, 2) if v is not None else None
+    def _median_rate(stats):
+        return stats["images_per_sec_per_chip"] if stats else None
 
     result = {
         "metric": "fcn8s_train_images_per_sec_per_chip_1024x512",
@@ -360,11 +409,23 @@ def main():
             **mfu_extras,
             "infer_images_per_sec_per_chip": round(infer_imgs_per_sec / n_chips, 2),
             "infer_p50_latency_ms_batch1": round(p50 * 1e3, 1),
+            "infer_batch1_latency_spread": {
+                "min_ms": round(float(np.min(latencies)) * 1e3, 1),
+                "max_ms": round(float(np.max(latencies)) * 1e3, 1),
+                "iters": ITERS,
+            },
             "infer_batch1_breakdown": batch1_breakdown,
-            "infer_batched_images_per_sec_per_chip": _per_chip(batched_imgs_per_sec),
+            # medians kept under the legacy key names for cross-round
+            # comparability; full repeat/min/max/spread + compute-sync stats
+            # per row under *_stats (VERDICT r4: D2H-bound rows swing with
+            # the time-shared tunnel — a single number is not comparable)
+            "infer_batched_images_per_sec_per_chip": _median_rate(batched_stats),
             "infer_batched_batch": INFER_BATCH,
-            "infer_overlay_images_per_sec_per_chip": _per_chip(overlay_imgs_per_sec),
-            "infer_int8_images_per_sec_per_chip": _per_chip(quant_imgs_per_sec),
+            "infer_batched_stats": batched_stats,
+            "infer_overlay_images_per_sec_per_chip": _median_rate(overlay_stats),
+            "infer_overlay_stats": overlay_stats,
+            "infer_int8_images_per_sec_per_chip": _median_rate(quant_stats),
+            "infer_int8_stats": quant_stats,
             "infer_vs_baseline": round(
                 infer_imgs_per_sec / n_chips / BASELINE_TF_CPU_INFER_IMGS_PER_SEC, 1
             ),

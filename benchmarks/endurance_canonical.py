@@ -26,10 +26,13 @@ one chip — with a mid-run SIGKILL and bit-exact resume:
   fixed seed (parallel/steps.py), and checkpoints carry params + TF1-Adam
   moments + EMA + plateau counters (engine/checkpoint.py).
 
-Artifacts: ``benchmarks/endurance_r04.json`` — full per-epoch loss/mIoU
+Artifacts: ``benchmarks/endurance_r04.json`` (round 4, --augment flip, the
+tutorial's own recipe) and ``benchmarks/endurance_r05_fullaug.json`` (round
+5, --augment full: the complete flip+brightness+fused-translate/scale device
+pipeline with post-augment device label noise) — full per-epoch loss/mIoU
 curve, wall time, kill/resume events, both fingerprints, bit-match verdict.
 
-Run (real TPU, ~75-90 min):   python benchmarks/endurance_canonical.py
+Run (real TPU, ~2-3 h):       python benchmarks/endurance_canonical.py
 Orchestration smoke (~4 min): python benchmarks/endurance_canonical.py --smoke
 """
 
@@ -146,18 +149,27 @@ LABEL_NOISE = 0.05
 NUM_CLASSES = 6
 
 # "flip" is the canonical recipe (tutorial cell 13 trains with h-flip 0.5
-# only). "full" adds the geometric set — kept for the diagnostic record: its
-# void-filled borders are separable noise-free pixels that re-enable the
-# unbounded-logit pathology (see the device_augment comment in run_child).
+# only), with HOST-side label noise (batch_for_step). "full" is the complete
+# device pipeline — flip+brightness+fused translate/scale — made stable (round
+# 5) by carrying the label noise ON DEVICE, *after* the geometric transforms
+# (ops.augment_device.random_label_noise): round 4's full-augment failure was
+# the translate/scale void borders being perfectly-separable NOISE-FREE
+# pixels that pre-augment host noise cannot reach, so Adam grew their logits
+# without bound. Post-augment noise covers every pixel population, borders
+# included; host noise is disabled for this config (no double noising). The
+# device noise key folds the global step (parallel/steps.py), so bit-exact
+# kill+resume is preserved.
 AUGMENT_CONFIGS = {
     "flip": {"flip": 0.5},
     "full": {"flip": 0.5, "brightness": (0.8, 1.2, 0.5),
              "translate": ((0, 16), (0, 8), 0.5),
-             "scale": (0.8, 1.2, 0.5)},
+             "scale": (0.8, 1.2, 0.5),
+             "label_noise": (0.05, 4, 6)},  # (rate, block, num_classes)
 }
 
 
-def batch_for_step(images, labels, step: int, batch: int):
+def batch_for_step(images, labels, step: int, batch: int,
+                   host_noise: bool = True):
     """The batch consumed at global step ``step`` — a PURE function of the
     step, so a resumed run replays the identical stream.
 
@@ -171,13 +183,19 @@ def batch_for_step(images, labels, step: int, batch: int):
 
     Noise is drawn per 4x4 BLOCK (then repeated up): statistically the same
     unlearnable regularizer, 16x fewer host RNG draws — per-pixel draws cost
-    ~0.5 s/step of the 1-core host and made the run input-bound."""
+    ~0.5 s/step of the 1-core host and made the run input-bound.
+
+    ``host_noise=False`` ships CLEAN labels — used when the augment config
+    carries the noise on device instead (AUGMENT_CONFIGS['full']'s
+    post-augment ``label_noise``), so pixels are never noised twice."""
     rng = np.random.default_rng(77_000 + step)
     idx = rng.choice(len(images), size=batch, replace=False)
     # stack-of-slices, NOT images[idx]: numpy's fancy-index path copies this
     # 25 MB gather at ~200 MB/s on this host (116 ms) vs 5 ms for the stack
     im = np.stack([images[i] for i in idx])
     lb = np.stack([labels[i] for i in idx])
+    if not host_noise:
+        return im, lb
     b = 4
     bh, bw = lb.shape[1] // b, lb.shape[2] // b
     flip = rng.random((batch, bh, bw), dtype=np.float32) < LABEL_NOISE
@@ -243,12 +261,17 @@ def run_child(args) -> int:
     # finish the run before the orchestrator's kill can land
     throttle = float(os.environ.get("ENDURANCE_THROTTLE_S", "0") or 0)
 
+    # when the augment config noises labels on device (post-augment), the
+    # host ships clean labels — no double noising
+    host_noise = "label_noise" not in AUGMENT_CONFIGS[args.augment]
+
     def gen():
         step = start
         while True:
             if throttle:
                 time.sleep(throttle)
-            yield batch_for_step(images, labels, step, args.batch)
+            yield batch_for_step(images, labels, step, args.batch,
+                                 host_noise=host_noise)
             step += 1
 
     eval_set = make_eval_batches(images.shape[1], images.shape[2],
@@ -280,13 +303,15 @@ def run_child(args) -> int:
             # the tutorial recipe trains with h-flip only (cell 13); the
             # augmentation RNG folds the global step, so it stays bit-exact
             # across resume. MEASURED FAILURE (round 4, first full-scale
-            # attempt): adding translate/scale here defeats the label-noise
-            # regularizer — their void-filled borders (black image, label 0)
-            # are perfectly-separable NOISE-FREE pixels, so Adam grows their
-            # logits without bound and the run destabilizes (train CE stable
-            # at 0.35 to ~step 1000, then recurring spikes to the thousands;
-            # clean-eval accuracy crashed 0.98 -> 0.83 in the same window).
-            # Label noise everywhere else (batch_for_step) bounds the rest.
+            # attempt): adding translate/scale with HOST-side noise defeats
+            # the label-noise regularizer — their void-filled borders (black
+            # image, label 0) are perfectly-separable NOISE-FREE pixels, so
+            # Adam grows their logits without bound and the run destabilizes
+            # (train CE stable at 0.35 to ~step 1000, then recurring spikes
+            # to the thousands; clean-eval accuracy crashed 0.98 -> 0.83).
+            # RESOLVED round 5: --augment full now carries the noise ON
+            # DEVICE, post-augment (AUGMENT_CONFIGS comment), covering the
+            # borders too.
             device_augment=AUGMENT_CONFIGS[args.augment],
             gradient_accumulation=args.grad_accum,
             ema_decay=0.999,
@@ -511,6 +536,10 @@ def orchestrate(args) -> int:
             "width_mult": args.width_mult, "fc_channels": args.fc_channels,
             "device_augment": AUGMENT_CONFIGS[args.augment],
             "label_noise": LABEL_NOISE,
+            "label_noise_carrier": (
+                "device_post_augment"
+                if "label_noise" in AUGMENT_CONFIGS[args.augment]
+                else "host_pre_augment"),
         },
         "wall_s_train": round(wall_main, 1),
         "wall_s_total": round(time.time() - t0, 1),
@@ -545,7 +574,7 @@ def main():
     p.add_argument("--mode", default="fresh", choices=["fresh", "resume", "compare"])
     p.add_argument("--packed", default=os.path.join("/tmp", "endurance_packed"))
     p.add_argument("--out-root", default=os.path.join("/tmp", "endurance_out"))
-    p.add_argument("--report", default=os.path.join(THIS_DIR, "endurance_r04.json"))
+    p.add_argument("--report", default=os.path.join(THIS_DIR, "endurance_r05.json"))
     p.add_argument("--total-steps", type=int, default=13000)
     p.add_argument("--spe", type=int, default=500, help="steps per epoch")
     p.add_argument("--batch", type=int, default=16, help="effective batch")

@@ -14,7 +14,19 @@ real Cityscapes images are absent from this environment; what is measured
 is the int8-vs-bf16 DELTA on an identically-trained model, which is the
 quantization question.
 
-Run:  python benchmarks/int8_closed_loop.py   (real TPU, ~10 min)
+Two model sources:
+
+* default: train 300 steps fresh (quick; round-4 artifact — only 6 of 19
+  classes populated, thin);
+* ``--checkpoint DIR``: load the canonical-scale ENDURANCE checkpoint
+  (13k steps, mIoU ~0.67 — every class of its 6-class space exercised,
+  VERDICT r4 #5) and score it on the endurance workload's own clean eval
+  distribution, mapped into labelId space via a fixed 6->labelId LUT
+  (road/sky/car/building/person + void) through ``score_benchmark``'s
+  ``id_map`` hook. Same full predict->PNG->offline-scorer loop
+  (`evalPixelLevelSemanticLabeling.py:460-546`).
+
+Run:  python benchmarks/int8_closed_loop.py [--checkpoint DIR]  (real TPU)
 Prints one JSON line on stdout; writes benchmarks/int8_closed_loop.json.
 """
 
@@ -69,6 +81,11 @@ def synth_labelid_scene(rng, h, w):
     return img, gt
 
 
+# the endurance workload's 6-class space -> Cityscapes labelIds
+# (convergence_synthetic.CLASS_COLORS semantics: road/sky/car/building/person)
+ENDURANCE_LABELID_LUT = np.array([0, 7, 23, 26, 11, 24], np.uint8)
+
+
 def main():
     import argparse
 
@@ -77,12 +94,13 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--resolution", type=int, nargs=2, default=[256, 512])
     p.add_argument("--val-images", type=int, default=16)
+    p.add_argument("--checkpoint", default=None,
+                   help="score this endurance checkpoint (6-class) instead "
+                        "of training a fresh 20-class model")
     p.add_argument("--out", default=os.path.join(THIS_DIR, "int8_closed_loop.json"))
     args = p.parse_args()
 
     from PIL import Image
-
-    import jax.numpy as jnp
 
     from fcn8s_tensorflow_tpu.engine.model import FCN8s
     from fcn8s_tensorflow_tpu.engine.schedules import constant
@@ -91,50 +109,77 @@ def main():
     h, w = args.resolution
     rng = np.random.default_rng(0)
 
-    # --- benchmark-layout val split on disk ---
+    # --- benchmark-layout val split on disk + the model to score ---
     ds = tempfile.mkdtemp(prefix="int8_cl_ds_")
     img_dir = os.path.join(ds, "leftImg8bit", "val", "synth")
     gt_dir = os.path.join(ds, "gtFine", "val", "synth")
     os.makedirs(img_dir), os.makedirs(gt_dir)
     val_rng = np.random.default_rng(999)
-    for i in range(args.val_images):
-        img, gt = synth_labelid_scene(val_rng, h, w)
+    id_map = None
+
+    def write_val_pair(i, img, gt_labelids):
         name = f"synth_000000_{i:06d}"
         Image.fromarray(img).save(os.path.join(img_dir, f"{name}_leftImg8bit.png"))
-        Image.fromarray(gt).save(os.path.join(gt_dir, f"{name}_gtFine_labelIds.png"))
-        Image.fromarray(gt.astype(np.uint16)).save(
+        Image.fromarray(gt_labelids).save(
+            os.path.join(gt_dir, f"{name}_gtFine_labelIds.png"))
+        Image.fromarray(gt_labelids.astype(np.uint16)).save(
             os.path.join(gt_dir, f"{name}_gtFine_instanceIds.png"))
 
-    # --- train (trainId space) ---
-    def gen():
-        while True:
-            imgs, gts = zip(*(synth_labelid_scene(rng, h, w)
-                              for _ in range(args.batch)))
-            yield (np.stack(imgs),
-                   IDS_TO_TRAINIDS_ARRAY[np.stack(gts)].astype(np.uint8))
+    if args.checkpoint:
+        # endurance checkpoint: its own clean eval distribution (the hard
+        # palette-jittered scenes), GT mapped 6-class -> labelId space
+        sys.path.insert(0, THIS_DIR)
+        from endurance_canonical import synth_hard_batch
 
-    model = FCN8s(num_classes=NUM_TRAIN_CLASSES)
-    t0 = time.time()
-    model.train(gen(), epochs=1, steps_per_epoch=args.steps,
-                learning_rate_schedule=constant(1e-4), keep_prob=0.5,
-                record_summaries=False)
-    log(f"trained {args.steps} steps in {time.time() - t0:.0f}s, "
-        f"loss {float(model.training_loss):.4f}")
+        model = FCN8s(model_load_dir=args.checkpoint)
+        if model.num_classes != len(ENDURANCE_LABELID_LUT):
+            raise ValueError(
+                f"--checkpoint expects the {len(ENDURANCE_LABELID_LUT)}-class "
+                f"endurance model, got num_classes={model.num_classes}")
+        imgs_v, gts_v = synth_hard_batch(val_rng, args.val_images, h, w)
+        for i in range(args.val_images):
+            write_val_pair(i, imgs_v[i], ENDURANCE_LABELID_LUT[gts_v[i]])
+        id_map = ENDURANCE_LABELID_LUT
+        calib_imgs = synth_hard_batch(rng, args.batch * 2, h, w)[0]
+        trained_desc = f"endurance checkpoint {os.path.basename(args.checkpoint)}"
+    else:
+        for i in range(args.val_images):
+            img, gt = synth_labelid_scene(val_rng, h, w)
+            write_val_pair(i, img, gt)
+
+        # --- train (trainId space) ---
+        def gen():
+            while True:
+                imgs, gts = zip(*(synth_labelid_scene(rng, h, w)
+                                  for _ in range(args.batch)))
+                yield (np.stack(imgs),
+                       IDS_TO_TRAINIDS_ARRAY[np.stack(gts)].astype(np.uint8))
+
+        model = FCN8s(num_classes=NUM_TRAIN_CLASSES)
+        t0 = time.time()
+        model.train(gen(), epochs=1, steps_per_epoch=args.steps,
+                    learning_rate_schedule=constant(1e-4), keep_prob=0.5,
+                    record_summaries=False)
+        log(f"trained {args.steps} steps in {time.time() - t0:.0f}s, "
+            f"loss {float(model.training_loss):.4f}")
+        calib_imgs = np.stack([synth_labelid_scene(rng, h, w)[0]
+                               for _ in range(args.batch * 2)])
+        trained_desc = f"fresh {args.steps}-step model"
 
     # --- calibrate the static activation scales (the SHIPPED int8 path;
     # without this, quantized=True falls back to dynamic per-tensor scales
     # and the measured delta would be for a path serving doesn't use) ---
-    calib_imgs = np.stack([synth_labelid_scene(rng, h, w)[0]
-                           for _ in range(args.batch * 2)])
     model.calibrate_quantization(calib_imgs, batch_size=args.batch)
-    log(f"calibrated int8 activation scales on {len(calib_imgs)} images")
+    log(f"calibrated int8 activation scales on {len(calib_imgs)} images "
+        f"({trained_desc})")
 
     # --- score the SAME model through the full benchmark pipeline twice ---
     results = {}
     for tag, quantized in (("bf16", False), ("int8", True)):
         res_dir = os.path.join(ds, f"results_{tag}")
         r = model.score_benchmark(ds, res_dir, quantized=quantized,
-                                  batch_size=args.batch, instance_level=False)
+                                  batch_size=args.batch, id_map=id_map,
+                                  instance_level=False)
         results[tag] = {
             "miou": float(r["averageScoreClasses"]),
             "classScores": {k: float(v) for k, v in r["classScores"].items()
@@ -146,8 +191,11 @@ def main():
     out = {
         "metric": "int8_closed_loop_miou_delta",
         "unit": "mIoU",
-        "config": vars(args) | {"classes": sorted(CLASS_COLORS),
-                                "calibration_images": int(len(calib_imgs))},
+        "config": vars(args) | {
+            "classes": (sorted(int(x) for x in ENDURANCE_LABELID_LUT[1:])
+                        if args.checkpoint else sorted(CLASS_COLORS)),
+            "model": trained_desc,
+            "calibration_images": int(len(calib_imgs))},
         "bf16_miou": round(results["bf16"]["miou"], 4),
         "int8_miou": round(results["int8"]["miou"], 4),
         "delta": round(delta, 4),

@@ -442,6 +442,43 @@ def random_gamma(rng, images, lo: float, hi: float, prob: float):
     return jnp.clip(jnp.round(out), 0.0, 255.0).astype(images.dtype)
 
 
+def random_label_noise(rng, label_ids, rate: float, block: int,
+                       num_classes: int):
+    """Per-BLOCK random label replacement (DisturbLabel-style regularization,
+    beyond the reference): with probability ``rate`` per ``block``x``block``
+    tile, the tile's GT ids are replaced by one uniform draw from
+    [0, num_classes).
+
+    Two uses:
+
+    * regularization — iid label noise bounds the optimal classifier's
+      confidence, so Adam's logit growth on (near-)separable data is bounded
+      at the noise floor's log-odds instead of growing ~lr/step without
+      bound (measured: TODO.md round-4 findings (a));
+    * the endurance workload's noise carrier — applied here, *after* the
+      geometric transforms, the noise also covers augment-created void
+      borders (translate/scale fill: black image, label 0), which are
+      otherwise perfectly-separable noise-free pixels that defeat a
+      host-side (pre-augment) noise pass (TODO.md round-4 findings (b)).
+
+    Drawing per block (not per pixel) is statistically the same unlearnable
+    regularizer at 1/block**2 the RNG cost; block=1 gives pixel-iid noise.
+    Labels only — images pass through untouched. Expected observed flip
+    rate is ``rate * (num_classes-1)/num_classes`` (a draw can equal the
+    original label).
+    """
+    n, h, w = label_ids.shape
+    bh = -(-h // block)
+    bw = -(-w // block)
+    k1, k2 = jax.random.split(rng)
+    flip = jax.random.uniform(k1, (n, bh, bw)) < rate
+    vals = jax.random.randint(k2, (n, bh, bw), 0, num_classes
+                              ).astype(label_ids.dtype)
+    flip_full = jnp.repeat(jnp.repeat(flip, block, 1), block, 2)[:, :h, :w]
+    vals_full = jnp.repeat(jnp.repeat(vals, block, 1), block, 2)[:, :h, :w]
+    return jnp.where(flip_full, vals_full, label_ids)
+
+
 def random_hue(rng, images, max_delta: float, prob: float):
     """Per-sample hue rotation by delta ~ U(-max_delta, max_delta) turns
     (1.0 = full circle) — float-exact HSV round trip with V and S
@@ -496,6 +533,7 @@ def make_augment_fn(
     saturation: tuple | None = None,
     hue: tuple | None = None,
     gamma: tuple | None = None,
+    label_noise: tuple | None = None,
     void_class_id: int = 0,
 ):
     """Compose a jit-safe ``(rng, images, label_ids) -> (images, label_ids)``
@@ -519,13 +557,21 @@ def make_augment_fn(
     * ``contrast`` / ``saturation``: (lo, hi, prob) torchvision-semantics
       blends toward the image-mean / per-pixel grayscale;
     * ``hue``: (max_delta, prob) hue rotation in turns (S and V exact);
-    * ``gamma``: (lo, hi, prob) power-law ``255*(x/255)**g``.
+    * ``gamma``: (lo, hi, prob) power-law ``255*(x/255)**g``;
+    * ``label_noise``: (rate, block, num_classes) DisturbLabel-style random
+      GT replacement — applied LAST, after the geometric transforms, so
+      augment-created void borders carry the noise too (see
+      ``random_label_noise``). Labels only.
     """
     # split count is part of the random stream: stay at the legacy 5 keys
     # unless a photometric extra is enabled, so existing seeded pipelines
-    # reproduce byte-identically
+    # reproduce byte-identically; enabling label_noise appends a 6th/10th
+    # key (a NEW random stream — only configs without it are stream-stable)
     n_keys = 9 if any(o is not None
                       for o in (contrast, saturation, hue, gamma)) else 5
+    noise_key_idx = n_keys if label_noise is not None else None
+    if label_noise is not None:
+        n_keys += 1
 
     def augment(rng, images, label_ids):
         keys = jax.random.split(rng, n_keys)
@@ -564,6 +610,9 @@ def make_augment_fn(
             )
         if gray:
             images = grayscale(images)
+        if label_noise is not None and label_ids is not None:
+            label_ids = random_label_noise(keys[noise_key_idx], label_ids,
+                                           *label_noise)
         return images, label_ids
 
     return augment

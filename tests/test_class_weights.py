@@ -223,6 +223,7 @@ def test_class_pixel_counts_lut_and_validation(tmp_path):
         gen.class_pixel_counts()  # raw id 7 >= num_classes=3, no ignore
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_facade_class_weights_validation():
     m = FCN8s(num_classes=3, **TINY)
     images, labels = _toy()

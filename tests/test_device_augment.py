@@ -403,7 +403,15 @@ def test_legacy_key_stream_unchanged_without_extras(rng):
 # ---------------------------------------------------------------------------
 
 
-def test_fused_translate_scale_bitwise_equals_sequential(rng):
+# fast-suite re-triage (round 5): the straddling range stays in the inner
+# loop (it exercises both the shrink and grow branches per sample); the
+# pure-shrink/grow ranges ride the slow suite
+@pytest.mark.parametrize("s_lo,s_hi", [
+    (0.7, 1.5),
+    pytest.param(0.6, 0.95, marks=pytest.mark.slow),
+    pytest.param(1.05, 1.6, marks=pytest.mark.slow),
+])
+def test_fused_translate_scale_bitwise_equals_sequential(rng, s_lo, s_hi):
     """random_translate_scale must be BYTE-identical to the sequential pair
     — same draws (it consumes the two keys exactly as the standalone ops)
     and same outputs (the integer shift folds into the scale taps; border
@@ -422,22 +430,107 @@ def test_fused_translate_scale_bitwise_equals_sequential(rng):
     kt, ks = jax.random.split(jax.random.key(7, impl="rbg"))
     spec = dict(x_spec=(0, 9), y_spec=(0, 5), t_prob=0.8)
 
-    for s_lo, s_hi in [(0.6, 0.95), (1.05, 1.6), (0.7, 1.5)]:
-        im_seq, lb_seq = random_translate(kt, images, labels,
-                                          spec["x_spec"], spec["y_spec"],
-                                          spec["t_prob"], void_class_id=2)
-        im_seq, lb_seq = random_scale(ks, im_seq, lb_seq, s_lo, s_hi, 0.9,
-                                      void_class_id=2)
-        im_fused, lb_fused = random_translate_scale(
-            kt, ks, images, labels, spec["x_spec"], spec["y_spec"],
-            spec["t_prob"], s_lo, s_hi, 0.9, void_class_id=2)
-        np.testing.assert_array_equal(np.asarray(im_fused), np.asarray(im_seq))
-        np.testing.assert_array_equal(np.asarray(lb_fused), np.asarray(lb_seq))
+    im_seq, lb_seq = random_translate(kt, images, labels,
+                                      spec["x_spec"], spec["y_spec"],
+                                      spec["t_prob"], void_class_id=2)
+    im_seq, lb_seq = random_scale(ks, im_seq, lb_seq, s_lo, s_hi, 0.9,
+                                  void_class_id=2)
+    im_fused, lb_fused = random_translate_scale(
+        kt, ks, images, labels, spec["x_spec"], spec["y_spec"],
+        spec["t_prob"], s_lo, s_hi, 0.9, void_class_id=2)
+    np.testing.assert_array_equal(np.asarray(im_fused), np.asarray(im_seq))
+    np.testing.assert_array_equal(np.asarray(lb_fused), np.asarray(lb_seq))
 
-    # image-only path (no labels)
+
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
+def test_fused_translate_scale_image_only_path(rng):
+    """No-labels variant of the bitwise-equality contract."""
+    import jax
+
+    from fcn8s_tensorflow_tpu.ops.augment_device import (
+        random_scale,
+        random_translate,
+        random_translate_scale,
+    )
+
+    images = jnp.asarray(rng.integers(0, 255, (4, 40, 56, 3), dtype=np.uint8))
+    kt, ks = jax.random.split(jax.random.key(7, impl="rbg"))
     im_seq, _ = random_translate(kt, images, None, 4, 3, 0.7)
     im_seq, _ = random_scale(ks, im_seq, None, 0.8, 1.2, 0.7)
     im_fused, lb_none = random_translate_scale(kt, ks, images, None, 4, 3, 0.7,
                                                0.8, 1.2, 0.7)
     assert lb_none is None
     np.testing.assert_array_equal(np.asarray(im_fused), np.asarray(im_seq))
+
+
+# ---------------------------------------------------------------------------
+# device label noise (round 5: the endurance workload's post-augment carrier)
+# ---------------------------------------------------------------------------
+
+
+def test_label_noise_rate_and_blockwise(rng):
+    """Observed flip rate ~= rate*(C-1)/C; every flipped pixel's block-aligned
+    tile must be uniformly the noised value (one draw per block)."""
+    labels = jnp.asarray(rng.integers(1, 6, (8, 64, 64), dtype=np.uint8))
+    out = np.asarray(aug.random_label_noise(
+        jax.random.PRNGKey(0), labels, rate=0.05, block=4, num_classes=6))
+    clean = np.asarray(labels)
+    rate = (out != clean).mean()
+    assert abs(rate - 0.05 * 5 / 6) < 0.012, rate
+    assert out.dtype == clean.dtype
+    for s, y, x in zip(*np.where(out != clean)):
+        by, bx = (y // 4) * 4, (x // 4) * 4
+        assert (out[s, by:by + 4, bx:bx + 4] == out[s, y, x]).all()
+
+
+def test_label_noise_deterministic_and_rate_zero_identity(rng):
+    labels = jnp.asarray(rng.integers(0, 6, (4, 32, 32), dtype=np.uint8))
+    k = jax.random.PRNGKey(3)
+    a = aug.random_label_noise(k, labels, 0.1, 4, 6)
+    b = aug.random_label_noise(k, labels, 0.1, 4, 6)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ident = aug.random_label_noise(k, labels, 0.0, 4, 6)
+    np.testing.assert_array_equal(np.asarray(ident), np.asarray(labels))
+
+
+def test_label_noise_covers_augment_void_borders(rng):
+    """The load-bearing property for the full-augment endurance run: noise
+    applied AFTER translate/scale must land on the void-filled borders too
+    (pre-augment host noise cannot — TODO.md round-4 finding (b))."""
+    images = jnp.asarray(rng.integers(0, 255, (16, 32, 48, 3), dtype=np.uint8))
+    labels = jnp.full((16, 32, 48), 3, jnp.uint8)  # one non-void class
+    fn = aug.make_augment_fn(translate=((4, 8), (4, 8), 1.0),
+                             scale=(0.7, 0.9, 1.0),
+                             label_noise=(0.3, 2, 6), void_class_id=0)
+    _, out_l = jax.jit(fn)(jax.random.PRNGKey(5), images, labels)
+    out_l = np.asarray(out_l)
+    # borders exist (scale<1 guarantees a void frame) ...
+    border = out_l[:, 0, :]  # top row is void-fill under these params
+    # ... and the noise reached them: some border pixels are NOT void
+    assert (border != 0).any(), "label noise never landed on void borders"
+
+
+def test_label_noise_key_stream_stable_without_it(rng):
+    """Enabling label_noise must not change pipelines that don't use it
+    (split count stays 5/9); with it, the geometric outputs still match the
+    no-noise pipeline wherever no block fired (images are untouched)."""
+    images = jnp.asarray(rng.integers(0, 255, (2, 16, 16, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 3, (2, 16, 16), dtype=np.uint8))
+    key = jax.random.PRNGKey(11)
+    base = aug.make_augment_fn(flip=0.5, brightness=(0.8, 1.2, 0.5))
+    out_i, _ = base(key, images, labels)
+    keys = jax.random.split(key, 5)
+    exp = aug.random_brightness(keys[1], images, 0.8, 1.2, 0.5)
+    exp, _ = aug.random_horizontal_flip(keys[2], exp, labels, 0.5)
+    np.testing.assert_array_equal(np.asarray(out_i), np.asarray(exp))
+    with_noise = aug.make_augment_fn(flip=0.5, brightness=(0.8, 1.2, 0.5),
+                                     label_noise=(0.0, 4, 3))
+    out_i2, out_l2 = with_noise(key, images, labels)
+    # at rate 0 the full pipeline must equal the no-noise pipeline: the
+    # noise key is APPENDED and split(k, 6)[:5] == split(k, 5) for both
+    # threefry and rbg (verified on this jax), so the other draws match
+    assert out_i2.shape == out_i.shape
+    np.testing.assert_array_equal(np.asarray(out_i2), np.asarray(out_i))
+    np.testing.assert_array_equal(
+        np.asarray(out_l2),
+        np.asarray(base(key, images, labels)[1]))

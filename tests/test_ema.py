@@ -169,6 +169,7 @@ def test_ema_checkpoint_roundtrip(tmp_path):
     del path
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_ema_validation():
     model = FCN8s(num_classes=NUM_CLASSES, **TINY)
     images, labels = _toy_batch()

@@ -95,3 +95,28 @@ def test_batch_for_step_noise_is_blockwise():
         by, bx = (y // 4) * 4, (x // 4) * 4
         block = lb[s, by:by + 4, bx:bx + 4]
         assert (block == lb[s, y, x]).all()
+
+
+def test_batch_for_step_host_noise_off_ships_clean_labels():
+    # the full-augment config carries the noise ON DEVICE (post-augment);
+    # the host must then ship clean labels — no double noising
+    images, labels = _pool(n=16, h=32, w=32)
+    im, lb = ec.batch_for_step(images, labels, step=9, batch=8,
+                               host_noise=False)
+    rng = np.random.default_rng(77_000 + 9)
+    idx = rng.choice(len(images), size=8, replace=False)
+    np.testing.assert_array_equal(lb, np.stack([labels[i] for i in idx]))
+    np.testing.assert_array_equal(im, np.stack([images[i] for i in idx]))
+
+
+def test_full_augment_config_carries_device_label_noise():
+    """The round-4 failure mode (separable augment-void borders) is guarded
+    structurally: the 'full' config must noise labels on device, at the same
+    rate as the host carrier, over the workload's class count."""
+    cfg = ec.AUGMENT_CONFIGS["full"]
+    assert "translate" in cfg and "scale" in cfg  # the border creators
+    rate, block, num_classes = cfg["label_noise"]
+    assert rate == ec.LABEL_NOISE
+    assert num_classes == ec.NUM_CLASSES
+    # and the flip config keeps the committed r04 artifact's exact semantics
+    assert "label_noise" not in ec.AUGMENT_CONFIGS["flip"]

@@ -632,6 +632,7 @@ def test_checkpoint_format_version_enforced(trained_model, tmp_path):
     ckpt_mod.load_params_only(path, model.state.params)
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_async_save_replaces_existing_checkpoint_safely(trained_model, tmp_path):
     """Re-saving async to an existing directory name goes through a
     rename-aside (never an rmtree-first window) and leaves no .tmp/.old

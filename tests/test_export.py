@@ -44,6 +44,7 @@ def test_argmax_artifact_matches_live_model(model, images, tmp_path_factory):
     assert art.predict(images[0]).shape == (1,) + HW
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_softmax_artifact(model, images, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("artifact_sm"))
     model.export_serving(out, input_hw=HW, argmax=False)

@@ -188,6 +188,7 @@ def test_spatial_and_tp_mutually_exclusive(model_state):
                              tensor_parallel=True, spatial_partition=True)
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_grad_accum_matches_full_batch(model_state, rng):
     """grad_accum=2 is the full-batch gradient exactly (math identity:
     microbatch gradients weighted by real-sample share). keep_prob=1 so no
@@ -271,6 +272,7 @@ def test_spatial_train_rejects_tensor_parallel(model_state):
                            example_state=state, spatial_partition=True)
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_spatial_partitioned_eval_matches_unsharded(model_state, rng):
     """Width-sharded evaluation accumulates the same metrics as unsharded."""
     from jax.sharding import NamedSharding

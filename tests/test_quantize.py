@@ -84,8 +84,10 @@ def _tiny_model(num_classes=5):
                       fc_channels=64)
 
 
-@pytest.mark.slow
 def test_apply_fcn8s_int8_shapes():
+    # deliberately fast-marked (ADVICE r4): one tiny-model compile guards
+    # the int8 apply signature in the inner loop; the heavy training/
+    # calibration int8 tests below stay @slow
     params = _tiny_model()
     q = quantize_fcn8s_params(params)
     x = jnp.zeros((2, 64, 96, 3), jnp.uint8)
@@ -158,6 +160,7 @@ def test_static_calibration_matches_dynamic_on_calibration_data(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_facade_calibrate_quantization(rng):
     from fcn8s_tensorflow_tpu.engine.model import FCN8s
 

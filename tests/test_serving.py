@@ -203,6 +203,7 @@ def test_microbatching_coalesces_concurrent_requests(rng):
         model.close()
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_microbatching_groups_by_shape_and_mode(rng):
     """Mixed shapes and predict/overlay modes in one window resolve
     independently (separate device groups), all correct."""
@@ -233,6 +234,7 @@ def test_microbatching_groups_by_shape_and_mode(rng):
         model.close()
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_microbatching_error_propagates_to_request(rng):
     """A device-side failure fails the affected requests (500 path), not
     the dispatcher thread; later requests still work."""

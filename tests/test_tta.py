@@ -56,6 +56,7 @@ def test_tta_flip_equivariance(model, images):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_tta_multiscale_valid_distribution(model, images):
     """Rescaled views resize probabilities back bilinearly — a convex
     combination, so the average stays a valid distribution without a
@@ -68,6 +69,7 @@ def test_tta_multiscale_valid_distribution(model, images):
     assert probs.min() >= 0.0
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_tta_argmax_ids_and_odd_shapes(model):
     """Non-stride-32 inputs pad/crop exactly like `predict`; argmax path
     returns int32 ids in range."""
@@ -79,6 +81,7 @@ def test_tta_argmax_ids_and_odd_shapes(model):
     assert ids.min() >= 0 and ids.max() < NUM_CLASSES
 
 
+@pytest.mark.slow  # fast-suite re-triage (round 5): heavier twin of a fast smoke
 def test_tta_quantized_smoke(model, images):
     """int8 path compiles and returns sane ids (executable cache keyed
     separately from the bf16 one)."""
