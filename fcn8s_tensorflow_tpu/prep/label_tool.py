@@ -29,7 +29,14 @@ Capability map to the Qt tool's core loop:
   (``prep/rasterize.py``, ``prep/create_gt_imgs.py``) consume;
 * rasterized preview (``/api/preview``) — the saved polygons drawn through
   the REAL ``create_label_image`` path, alpha-composited on the image, so
-  what you see is what training will get.
+  what you see is what training will get;
+* magnifier zoom-window ('m') — the Qt tool's drawing aid: a fixed 4x
+  inset following the cursor with a crosshair at the would-be vertex,
+  active while drawing;
+* PNG screenshot export (``/api/screenshot/<idx>`` / the screenshot
+  button) — the composited review view (image + rasterized annotation +
+  typed correction boxes with notes) as one archivable PNG, rendered
+  server-side (the Qt tools' screenshot action).
 
 Server-side editing stays available programmatically via
 ``prep.annotation`` (add/move/delete vertex, relabel, reorder); this tool
@@ -206,6 +213,34 @@ class AnnotationTool:
         Image.fromarray(image.astype(np.uint8)).save(buf, format="PNG")
         return buf.getvalue()
 
+    # correction-box type -> outline RGB (matches the editor's CORR_COLORS)
+    _CORR_RGB = {1: (255, 0, 0), 2: (255, 255, 0),
+                 3: (0, 255, 0), 4: (34, 136, 255)}
+
+    def screenshot_png(self, index: int, alpha: float = 0.5) -> bytes:
+        """PNG export of the composited review view: image + rasterized
+        saved annotation (the preview composite) + correction boxes drawn
+        in their type colors with notes — the Qt tools' screenshot action
+        (`cityscapesViewer.py:204-257` screenshot/save-view machinery),
+        server-side so a headless workflow can archive review states
+        (``GET /api/screenshot/<idx>`` or the editor's screenshot
+        button)."""
+        from PIL import ImageDraw
+
+        base = Image.open(io.BytesIO(self.preview_png(index, alpha))).convert("RGB")
+        draw = ImageDraw.Draw(base)
+        for b in self.get_corrections(index)["boxes"]:
+            col = self._CORR_RGB.get(int(b["type"]), (255, 0, 0))
+            x0, y0 = int(b["x"]), int(b["y"])
+            draw.rectangle([x0, y0, x0 + int(b["width"]), y0 + int(b["height"])],
+                           outline=col, width=2)
+            if b.get("annotation"):
+                draw.text((x0 + 2, max(0, y0 - 12)), str(b["annotation"]),
+                          fill=col)
+        buf = io.BytesIO()
+        base.save(buf, format="PNG")
+        return buf.getvalue()
+
 
 _EDITOR_HTML = """<!doctype html>
 <meta charset="utf-8">
@@ -230,10 +265,14 @@ _EDITOR_HTML = """<!doctype html>
   <button id="undo">undo (z)</button>
   <button id="save">save (w)</button>
   <button id="preview">preview raster</button>
+  <button id="magbtn" class="on">magnifier (m)</button>
+  <button id="shot">screenshot</button>
   <span id="status"></span>
   <span id="corrhint" style="opacity:.6;display:none">drag box · t: cycle type · e: edit note</span>
 </div>
 <div id="stage"><canvas id="cv"></canvas></div>
+<canvas id="mag" width="200" height="200"
+  style="position:fixed;right:12px;top:60px;border:1px solid #555;background:#000;display:none;pointer-events:none;z-index:5"></canvas>
 <script>
 let IMAGES=[], LABELS=[], idx=0, ann={objects:[]}, img=new Image(), mode="draw";
 let current=[], selected=-1, dragV=null, scale=1, ox=0, oy=0, panning=null, dirty=false;
@@ -330,12 +369,30 @@ cv.addEventListener("mousedown",e=>{
     if(hit){snap();poly.splice(hit.i+1,0,hit.pt);dragV=hit.i+1;dirty=true;draw();return;}}
   selected=ann.objects.findIndex(o=>inPoly(p,o.polygon)); draw();
 });
+// magnifier zoom-window (the Qt label tool's drawing aid): a fixed 4x
+// inset following the cursor while drawing, with a crosshair at the
+// would-be vertex. Toggle 'm'; draw-mode only.
+let magOn=true, lastMouse=null;
+const mag=document.getElementById("mag"), mg=mag.getContext("2d");
+function drawMag(){
+  if(!magOn||mode!=="draw"||!lastMouse){mag.style.display="none";return;}
+  mag.style.display="";
+  const R=25;  // 50px source window -> 200px inset = 4x
+  mg.imageSmoothingEnabled=false;
+  mg.fillStyle="#000";mg.fillRect(0,0,200,200);
+  mg.drawImage(cv,lastMouse[0]-R,lastMouse[1]-R,2*R,2*R,0,0,200,200);
+  mg.strokeStyle="#ff0";mg.beginPath();
+  mg.moveTo(100,0);mg.lineTo(100,200);mg.moveTo(0,100);mg.lineTo(200,100);mg.stroke();
+}
 cv.addEventListener("mousemove",e=>{
+  lastMouse=pos(e);
   if(panning){ox=e.clientX-panning[0];oy=e.clientY-panning[1];draw();return;}
-  if(boxDrag){boxDrag.cur=pos(e).map(Math.round);draw();return;}
+  if(boxDrag){boxDrag.cur=pos(e).map(Math.round);draw();drawMag();return;}
   if(dragV!=null&&selected>=0){const p=pos(e);
     ann.objects[selected].polygon[dragV]=[Math.round(p[0]),Math.round(p[1])];dirty=true;draw();}
+  drawMag();
 });
+cv.addEventListener("mouseleave",()=>{lastMouse=null;drawMag();});
 addEventListener("mouseup",()=>{
   if(boxDrag){
     const d=boxDrag; boxDrag=null;
@@ -363,7 +420,7 @@ function setMode(m){mode=m;
   document.getElementById("select").classList.toggle("on",m==="select");
   document.getElementById("correct").classList.toggle("on",m==="correct");
   document.getElementById("corrhint").style.display=m==="correct"?"":"none";
-  draw();}
+  draw();drawMag();}
 async function save(){
   await j(`/api/annotation/${idx}`,{method:"POST",body:JSON.stringify(ann)});
   await j(`/api/corrections/${idx}`,{method:"POST",body:JSON.stringify(corr)});
@@ -382,10 +439,18 @@ document.getElementById("undo").onclick=undo;
 document.getElementById("save").onclick=save;
 document.getElementById("preview").onclick=()=>{
   const p=new Image();p.onload=()=>{cx.drawImage(p,0,0);};p.src=`/api/preview/${idx}?`+Date.now();};
+function toggleMag(){magOn=!magOn;
+  document.getElementById("magbtn").classList.toggle("on",magOn);drawMag();}
+document.getElementById("magbtn").onclick=toggleMag;
+document.getElementById("shot").onclick=()=>{
+  const a=document.createElement("a");
+  a.href=`/api/screenshot/${idx}?`+Date.now();
+  a.download=IMAGES[idx].name.replace(/\\.[^.]*$/,"")+"_screenshot.png";a.click();};
 addEventListener("keydown",e=>{
   if(e.key==="ArrowRight")load(idx+1); else if(e.key==="ArrowLeft")load(idx-1);
   else if(e.key==="d")setMode("draw"); else if(e.key==="s")setMode("select");
   else if(e.key==="c")setMode("correct");
+  else if(e.key==="m")toggleMag();
   else if(e.key==="t"&&mode==="correct"&&selCorr>=0){snap();
     corr.boxes[selCorr].type=corr.boxes[selCorr].type%4+1;dirty=true;draw();}
   else if(e.key==="e"&&mode==="correct"&&selCorr>=0){snap();
@@ -438,6 +503,9 @@ def make_server(tool: AnnotationTool, host: str = "127.0.0.1", port: int = 8010)
                     self._json(tool.get_corrections(int(path.rsplit("/", 1)[1])))
                 elif path.startswith("/api/preview/"):
                     self._send(200, tool.preview_png(int(path.rsplit("/", 1)[1])), "image/png")
+                elif path.startswith("/api/screenshot/"):
+                    self._send(200, tool.screenshot_png(int(path.rsplit("/", 1)[1])),
+                               "image/png")
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as exc:  # noqa: BLE001 — editor must not die

@@ -18,6 +18,12 @@ Feature parity with the PyQt viewer's core loop:
 * overlay transparency       -> slider (the Qt tool's alpha slider)
 * zoom                       -> mouse wheel / trackpad, drag to pan
 * image name + progress      -> header bar
+* slideshow / play-through   -> play button or space (1/2/5 s interval —
+                                the Qt viewer's timed play loop)
+* PNG screenshot export      -> 's' or the screenshot button: downloads the
+                                CURRENT composited view (visible layers at
+                                the chosen alpha) as <name>_screenshot.png
+                                (the Qt viewer's screenshot action)
 
 The static gallery (`viz/viewer.py`) remains for contact-sheet workflows.
 """
@@ -57,6 +63,10 @@ _VIEWER_HTML = """<!doctype html>
   <button id="disp">disp (d)</button>
   <button id="dmode">gray (m)</button>
   <label>alpha <input id="alpha" type="range" min="0" max="100" value="100"></label>
+  <button id="play" title="slideshow">&#9654; play (space)</button>
+  <select id="pint"><option value="1">1s</option><option value="2" selected>2s</option>
+    <option value="5">5s</option></select>
+  <button id="shot">screenshot (s)</button>
   <span style="opacity:.6">wheel: zoom &middot; drag: pan &middot; <kbd>&larr;</kbd><kbd>&rarr;</kbd> navigate</span>
 </div>
 <div id="stage"><div id="stack">
@@ -92,6 +102,31 @@ $('pred').onclick = () => {{ showPred = !showPred; render(); }};
 $('disp').onclick = () => {{ showDisp = !showDisp; render(); }};
 $('dmode').onclick = () => {{ dispGray = !dispGray; render(); }};
 $('alpha').oninput = render;
+// slideshow / play-through (the Qt viewer's play loop) + PNG screenshot
+// export of the CURRENT composited view (layers, toggles, alpha)
+let playing = null;
+function togglePlay() {{
+  if (playing) {{ clearInterval(playing); playing = null; }}
+  else playing = setInterval($('next').onclick, +$('pint').value * 1000);
+  $('play').className = playing ? 'on' : '';
+}}
+$('play').onclick = togglePlay;
+$('pint').onchange = () => {{ if (playing) {{ togglePlay(); togglePlay(); }} }};
+function screenshot() {{
+  const base = $('L_img');
+  const c = document.createElement('canvas');
+  c.width = base.naturalWidth; c.height = base.naturalHeight;
+  const g = c.getContext('2d'); g.drawImage(base, 0, 0);
+  g.globalAlpha = $('alpha').value / 100;
+  for (const id of ['L_gt', 'L_pred', 'L_disp']) {{
+    const el = $(id);
+    if (el.getAttribute('src') && el.style.display !== 'none') g.drawImage(el, 0, 0);
+  }}
+  const a = document.createElement('a');
+  a.download = ENTRIES[i].name.replace(/\\.[^.]*$/, '') + '_screenshot.png';
+  a.href = c.toDataURL('image/png'); a.click();
+}}
+$('shot').onclick = screenshot;
 document.onkeydown = ev => {{
   if (ev.key === 'ArrowLeft') $('prev').onclick();
   else if (ev.key === 'ArrowRight') $('next').onclick();
@@ -99,6 +134,8 @@ document.onkeydown = ev => {{
   else if (ev.key === 'p') $('pred').onclick();
   else if (ev.key === 'd') $('disp').onclick();
   else if (ev.key === 'm') $('dmode').onclick();
+  else if (ev.key === ' ') {{ ev.preventDefault(); togglePlay(); }}
+  else if (ev.key === 's') screenshot();
 }};
 $('stage').onwheel = ev => {{
   ev.preventDefault();
