@@ -92,6 +92,11 @@ def main():
     ap.add_argument("--ignore-label", type=int, default=None,
                     help="profile the masked (ignore_label) train step; GT "
                          "gets ~25%% ignored pixels")
+    ap.add_argument("--augment", action="store_true",
+                    help="profile the step with the full device-augment set "
+                         "compiled in (flip+brightness+fused translate/scale"
+                         "+label_noise) — attributes the geometric-resample "
+                         "and augment fusions")
     args = ap.parse_args()
 
     if args.parse_only:
@@ -120,8 +125,17 @@ def main():
     params = jax.jit(lambda k: init_fcn8s(k, NUM_CLASSES))(jax.random.PRNGKey(0))
     optimizer = make_optimizer()
     state = create_train_state(params, optimizer)
+    augment_fn = None
+    if args.augment:
+        from fcn8s_tensorflow_tpu.ops.augment_device import make_augment_fn
+
+        augment_fn = make_augment_fn(
+            flip=0.5, brightness=(0.8, 1.2, 0.5),
+            translate=((0, 16), (0, 8), 0.5), scale=(0.8, 1.2, 0.5),
+            label_noise=(0.05, 4, NUM_CLASSES))
     step = compile_train_step(mesh, optimizer, NUM_CLASSES, example_state=state,
-                              ignore_label=args.ignore_label)
+                              ignore_label=args.ignore_label,
+                              augment_fn=augment_fn)
     labels_np = rng.integers(0, NUM_CLASSES, (args.batch, H, W), dtype=np.uint8)
     if args.ignore_label is not None:
         labels_np[rng.random(labels_np.shape) < 0.25] = args.ignore_label

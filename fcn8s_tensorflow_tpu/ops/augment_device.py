@@ -30,8 +30,10 @@ integer H/S quantization only, bounded by test to max<=8 / mean<=1.
 Measured cost (v5e, benchmarks/device_augment_bench.py, in-process A/B at
 the headline 8x1024x512 train config): the full flip 0.5 + brightness
 (0.8,1.2,0.5) + translate((0,16),(0,8),0.5) + scale(0.8,1.2,0.5) set adds
-5.2 ms to the 109.4 ms train step (+4.8%) — the scale/translate gathers
-dominate; flip/brightness fuse to ~zero. The reference's equivalent host
+3.2 ms to the 109.4 ms train step (+2.9%; round 4 — translate∘scale fused
+into one separable resample, down from 5.2 ms as two passes) — the
+resample gathers dominate; flip/brightness and all four photometric
+extras fuse to ~zero (+0.2 ms marginal). The reference's equivalent host
 OpenCV pass is serial with the step and costs hundreds of ms per batch.
 """
 
