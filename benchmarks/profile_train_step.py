@@ -97,6 +97,10 @@ def main():
                          "compiled in (flip+brightness+fused translate/scale"
                          "+label_noise) — attributes the geometric-resample "
                          "and augment fusions")
+    ap.add_argument("--num-classes", type=int, default=NUM_CLASSES,
+                    help="match ignore_label_bench.py's 19-class Cityscapes-"
+                         "trainIds step with 19 (the masked-CE blend compiles "
+                         "differently at 19 vs the flagship 20 — see TODO.md)")
     args = ap.parse_args()
 
     if args.parse_only:
@@ -122,7 +126,8 @@ def main():
     mesh = create_mesh()
     rng = np.random.default_rng(0)
 
-    params = jax.jit(lambda k: init_fcn8s(k, NUM_CLASSES))(jax.random.PRNGKey(0))
+    nc = args.num_classes
+    params = jax.jit(lambda k: init_fcn8s(k, nc))(jax.random.PRNGKey(0))
     optimizer = make_optimizer()
     state = create_train_state(params, optimizer)
     augment_fn = None
@@ -132,11 +137,11 @@ def main():
         augment_fn = make_augment_fn(
             flip=0.5, brightness=(0.8, 1.2, 0.5),
             translate=((0, 16), (0, 8), 0.5), scale=(0.8, 1.2, 0.5),
-            label_noise=(0.05, 4, NUM_CLASSES))
-    step = compile_train_step(mesh, optimizer, NUM_CLASSES, example_state=state,
+            label_noise=(0.05, 4, nc))
+    step = compile_train_step(mesh, optimizer, nc, example_state=state,
                               ignore_label=args.ignore_label,
                               augment_fn=augment_fn)
-    labels_np = rng.integers(0, NUM_CLASSES, (args.batch, H, W), dtype=np.uint8)
+    labels_np = rng.integers(0, nc, (args.batch, H, W), dtype=np.uint8)
     if args.ignore_label is not None:
         labels_np[rng.random(labels_np.shape) < 0.25] = args.ignore_label
     im, lb, mk = shard_batch(
