@@ -416,6 +416,13 @@ def orchestrate(args) -> int:
     child_t0 = time.time()
     log(f"trainer launched (pid {child.pid}); will SIGKILL ~step {kill_at}")
     last_progress = (0, time.time())
+    # the step this child started from: until the log shows a LATER step,
+    # the child is still in its checkpoint-load + compile phase and gets
+    # the first-progress leash, not the steady-state stall timeout. (A
+    # resume child pays the same multi-minute compile as the fresh one —
+    # round-5 run observed a resume child stall-killed mid-compile in bad
+    # tunnel weather, which burns max_resumes for nothing.)
+    child_start_step = 0
 
     def alive_t(c):
         # per-step liveness: the tqdm bar updates the child's stdout log
@@ -454,6 +461,7 @@ def orchestrate(args) -> int:
                 return 1
             log(f"trainer exited rc={rc}; resuming ({resumes})")
             child, child_t0 = respawn()
+            child_start_step = step_now
             last_progress = (step_now, time.time())
             continue
 
@@ -474,13 +482,16 @@ def orchestrate(args) -> int:
             log(f"SIGKILLed trainer at logged step {step_now}; "
                 f"snapshot {latest} -> ckpt_prekill; resuming")
             child, child_t0 = respawn()
+            child_start_step = step_now
             last_progress = (step_now, time.time())
             continue
 
-        # allow the slow first compile (tunnel-dependent) a longer leash
-        # than steady-state epochs
+        # allow the slow compile (tunnel-dependent) a longer leash than
+        # steady-state epochs — for the fresh child AND for every resumed
+        # child until it has advanced past the step it restarted from
         stall_budget = (args.first_progress_timeout_s
-                        if last_progress[0] == 0 else args.stall_timeout_s)
+                        if last_progress[0] <= child_start_step
+                        else args.stall_timeout_s)
         if time.time() - last_progress[1] > stall_budget:
             events.append({"event": "stall_kill", "at_step": step_now,
                            "t": time.time() - t0})
@@ -492,6 +503,7 @@ def orchestrate(args) -> int:
             os.kill(child.pid, signal.SIGKILL)
             child.wait()
             child, child_t0 = respawn()
+            child_start_step = step_now
             last_progress = (step_now, time.time())
 
     with open(result_path) as f:
