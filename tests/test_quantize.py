@@ -198,7 +198,10 @@ def test_int8_closed_loop_miou_bound(tmp_path):
     """VERDICT r4 #5: the int8 serving path's accuracy cost measured in the
     CLOSED loop — train once, run `score_benchmark` bf16 and quantized=True
     on the same model, assert the mIoU delta is bounded. (The measured real
-    number on hardware lives in benchmarks/int8_closed_loop.json.)"""
+    number on hardware lives in benchmarks/int8_closed_loop.json — round 5
+    scored the 13k-step endurance-trained checkpoint, every class
+    populated: bf16 mIoU 0.8997 vs calibrated-int8 0.8997, delta 0.0000,
+    per-class agreement <4e-4; `int8_closed_loop.py --checkpoint`.)"""
     import os
     import sys
 
