@@ -401,3 +401,41 @@ def test_multi_step_dropout_rng_distinct_per_scanned_step(model_state, rng):
     losses = np.asarray(losses)
     assert np.isfinite(losses).all()
     assert losses[0] != losses[1]
+
+
+def test_overlay_select_chain_matches_gather_spec(model_state, rng):
+    """predict_step's overlay compositing (the round-5 per-class
+    compare/select chain that replaced the (C,4) row gather —
+    benchmarks/overlay_bench.py) must reproduce the gather-spec math
+    ``floor(img*(1-a) + color*a)``: LUT rows with zero alpha leave pixels
+    EXACTLY at the raw image, and rows with zero color channels (the
+    ``!= 0.0`` unroll skip) blend toward black like any other value.
+    Reference behavior: host compositing, `visualization_utils.py:7-52`
+    (<=1 LSB tolerance for compiler FMA contraction, as in
+    tests/test_engine.py::test_on_device_overlay_matches_host)."""
+    state, _ = model_state
+    mesh = create_mesh()
+    lut = np.array([
+        [255.0, 0.0, 0.0, 0.0],     # alpha 0: raw-image passthrough
+        [0.0, 255.0, 0.0, 255.0],   # opaque green (two zero channels)
+        [10.0, 20.0, 30.0, 127.0],  # half-alpha mixed
+        [0.0, 0.0, 0.0, 255.0],     # opaque black (all-zero color row)
+    ], np.float32)
+    images, _, _ = _batch(rng, 8)
+    ids_fn = compile_predict_step(mesh, argmax=True, example_params=state.params)
+    ov_fn = compile_predict_step(mesh, argmax=True, example_params=state.params,
+                                 overlay_lut=lut)
+    sharded = shard_batch(mesh, images)
+    ids = np.asarray(ids_fn(state.params, sharded))
+    got = np.asarray(ov_fn(state.params, sharded))
+    assert got.shape == images.shape and got.dtype == np.uint8
+    rgba = lut[ids]
+    alpha = rgba[..., 3:4] * np.float32(1.0 / 255.0)
+    want = np.floor(images.astype(np.float32) * (1.0 - alpha)
+                    + rgba[..., :3] * alpha).astype(np.uint8)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # the alpha-0 class must be an EXACT passthrough (img*1 + c*0 is exact
+    # in f32 regardless of contraction)
+    passthrough = ids == 0
+    assert passthrough.any()
+    np.testing.assert_array_equal(got[passthrough], images[passthrough])
